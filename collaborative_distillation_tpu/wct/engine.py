@@ -1,0 +1,151 @@
+"""The 5-level WCT stylization cascade engine.
+
+TPU rework of the reference inference path (PytorchWCT/WCT.py:99-125 +
+util_wct.py:210-223). Differences, all deliberate:
+
+* Everything runs on-device under one jit per (stage, shapes) — no
+  GPU->CPU->GPU feature round-trip (WCT.py:102-103 ships features to the host
+  for float64 SVD; we use eigh/Newton–Schulz in f32 on the MXU).
+* Style statistics (per-stage mean + covariance) are computed once per style
+  image and cached — the reference re-encodes the style image and re-runs the
+  SVD at every stage of every run (WCT.py:100).
+* Inputs are reflect-padded up to a multiple of 16 before the cascade and
+  cropped afterwards, so pool/upsample round-trips are exact at any
+  resolution. (The reference silently shrinks non-multiple-of-16 images
+  because floor-pool + fixed 2x upsample drop rows.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vgg import apply_decoder, apply_encoder
+from ..models.zoo import load_pyramid
+from ..ops.wct_transform import feature_stats, wct_transform
+
+__all__ = ["WCTEngine", "stylize_cascade_fn"]
+
+
+def _pad_to_multiple(x: jax.Array, multiple: int = 16) -> tuple[jax.Array, tuple[int, int]]:
+    n, h, w, c = x.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x, (h, w)
+
+
+def stage_style_stats(enc_params, enc_spec, style: jax.Array):
+    """Per-stage (mean, cov) of the style image's relu{k}_1 features."""
+    feats = apply_encoder(enc_params, style, enc_spec)
+    return feature_stats(feats["out"])
+
+
+def stylize_stage(enc_params, dec_params, enc_spec, dec_spec, img, s_mean, s_cov,
+                  alpha, method: str, newton_iters: int = 24):
+    """encode -> WCT -> decode for one pyramid level (WCT.py styleTransfer)."""
+    cf = apply_encoder(enc_params, img, enc_spec)["out"]
+    csf = wct_transform(cf, s_mean, s_cov, alpha, method=method,
+                        newton_iters=newton_iters)
+    return apply_decoder(dec_params, csf, dec_spec)["out"]
+
+
+def stylize_cascade_fn(pyramid, *, stages=(5, 4, 3, 2, 1), method="eigh",
+                       newton_iters=24):
+    """Build the jittable full-cascade function.
+
+    Returns ``f(params, content, style, alpha) -> stylized`` where ``params``
+    is the pyramid's parameter pytree — passing params as an argument keeps
+    them donate-able/shardable and lets one compiled executable serve updated
+    weights.
+    """
+    specs = {k: (pyramid[k]["enc_spec"], pyramid[k]["dec_spec"]) for k in stages}
+
+    def f(params, content, style, alpha):
+        img = content
+        for k in stages:
+            enc_spec, dec_spec = specs[k]
+            s_mean, s_cov = stage_style_stats(params[k]["enc"], enc_spec, style)
+            img = stylize_stage(params[k]["enc"], params[k]["dec"], enc_spec,
+                                dec_spec, img, s_mean, s_cov, alpha, method,
+                                newton_iters)
+        return img
+
+    return f
+
+
+class WCTEngine:
+    """User-facing stylization engine (the ``wct = WCT(args)`` equivalent).
+
+    >>> eng = WCTEngine(mode="16x")
+    >>> out = eng.stylize(content_hw3, style_hw3, alpha=1.0)
+
+    Handles padding, numpy<->device transfer, per-shape jit caching, style-stat
+    caching, and multi-run cascades (``num_run``, WCT.py:120).
+    """
+
+    def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
+                 method: str = "eigh", newton_iters: int = 24,
+                 dtype=jnp.float32, stages=(5, 4, 3, 2, 1)):
+        self.mode = mode
+        self.method = method
+        self.newton_iters = newton_iters
+        self.dtype = dtype
+        self.stages = tuple(stages)
+        self.pyramid = load_pyramid(mode, weights_root, stages=self.stages, dtype=dtype)
+        self.params = {k: {"enc": v["enc"], "dec": v["dec"]} for k, v in self.pyramid.items()}
+        self._stage_fns: dict[int, callable] = {}
+        self._style_stats_fns: dict[int, callable] = {}
+        self._style_cache: dict = {}
+
+    # -- jitted building blocks (cached per stage; XLA caches per shape) --
+
+    def _stage_fn(self, k):
+        if k not in self._stage_fns:
+            enc_spec = self.pyramid[k]["enc_spec"]
+            dec_spec = self.pyramid[k]["dec_spec"]
+            f = partial(stylize_stage, enc_spec=enc_spec, dec_spec=dec_spec,
+                        method=self.method, newton_iters=self.newton_iters)
+            self._stage_fns[k] = jax.jit(
+                lambda ep, dp, img, sm, sc, a, _f=f: _f(ep, dp, img=img, s_mean=sm, s_cov=sc, alpha=a))
+        return self._stage_fns[k]
+
+    def _style_stats(self, k, style: jax.Array, cache_key=None):
+        key = (k, cache_key, style.shape) if cache_key is not None else None
+        if key is not None and key in self._style_cache:
+            return self._style_cache[key]
+        if k not in self._style_stats_fns:
+            enc_spec = self.pyramid[k]["enc_spec"]
+            self._style_stats_fns[k] = jax.jit(
+                lambda p, s: stage_style_stats(p, enc_spec, s))
+        stats = self._style_stats_fns[k](self.params[k]["enc"], style)
+        if key is not None:
+            self._style_cache[key] = stats
+        return stats
+
+    def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
+                *, num_run: int = 1, style_key=None) -> np.ndarray:
+        """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3)
+        float in [0, 1]; returns the same rank, clipped to [0, 1]."""
+        squeeze = content.ndim == 3
+        if squeeze:
+            content = content[None]
+        if style.ndim == 3:
+            style = style[None]
+        img = jnp.asarray(content, self.dtype)
+        sty = jnp.asarray(style, self.dtype)
+        img, orig_hw = _pad_to_multiple(img, 16)
+        sty, _ = _pad_to_multiple(sty, 16)
+        alpha = jnp.asarray(alpha, jnp.float32)
+        for _ in range(num_run):
+            for k in self.stages:
+                s_mean, s_cov = self._style_stats(k, sty, cache_key=style_key)
+                img = self._stage_fn(k)(self.params[k]["enc"], self.params[k]["dec"],
+                                        img, s_mean, s_cov, alpha)
+        img = img[:, : orig_hw[0], : orig_hw[1], :]
+        out = np.asarray(jnp.clip(img, 0.0, 1.0), dtype=np.float32)
+        return out[0] if squeeze else out

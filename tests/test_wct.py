@@ -1,0 +1,105 @@
+"""WCT transform: mathematical invariants + parity with the f64 oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from collaborative_distillation_tpu.ops import (
+    coloring_matrix,
+    feature_stats,
+    matrix_isqrt_sqrt_eigh,
+    matrix_isqrt_sqrt_newton,
+    wct_transform,
+)
+
+import torch_oracle
+
+
+def _rand_feat(rng, p, c, scale=1.0):
+    # correlated features so covariance is interesting
+    mix = rng.standard_normal((c, c)).astype(np.float32)
+    x = rng.standard_normal((p, c)).astype(np.float32) @ mix * scale
+    return x + rng.standard_normal(c).astype(np.float32) * 2
+
+
+def test_feature_stats_matches_numpy(rng):
+    x = _rand_feat(rng, 500, 32)
+    mean, cov = feature_stats(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mean), x.mean(0), rtol=1e-5, atol=1e-5)
+    xc = x - x.mean(0)
+    ref_cov = xc.T @ xc / (x.shape[0] - 1)
+    np.testing.assert_allclose(np.asarray(cov), ref_cov, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fn", [matrix_isqrt_sqrt_eigh, matrix_isqrt_sqrt_newton])
+def test_matrix_sqrt_identities(rng, fn):
+    c = 48
+    a = rng.standard_normal((c, c)).astype(np.float32)
+    cov = a @ a.T / c + 0.1 * np.eye(c, dtype=np.float32)
+    isq, sq = fn(jnp.asarray(cov))
+    isq, sq = np.asarray(isq), np.asarray(sq)
+    np.testing.assert_allclose(sq @ sq, cov, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(isq @ cov @ isq, np.eye(c), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(sq @ isq, np.eye(c), rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("method", ["eigh", "newton"])
+def test_whitening_gives_identity_covariance(rng, method):
+    """Whitened content features must have ~identity covariance."""
+    c = 32
+    x = _rand_feat(rng, 2000, c)
+    mean, cov = feature_stats(jnp.asarray(x))
+    t = coloring_matrix(cov, jnp.eye(c), method=method)  # style=I => pure whitening
+    w = (np.asarray(x) - np.asarray(mean)) @ np.asarray(t).T
+    wcov = w.T @ w / (w.shape[0] - 1)
+    np.testing.assert_allclose(wcov, np.eye(c), atol=5e-2)
+
+
+@pytest.mark.parametrize("method", ["eigh", "newton"])
+def test_colored_matches_style_covariance(rng, method):
+    c = 24
+    content = _rand_feat(rng, 3000, c)
+    style = _rand_feat(rng, 3000, c, scale=2.0)
+    s_mean, s_cov = feature_stats(jnp.asarray(style))
+    out = wct_transform(jnp.asarray(content), s_mean, s_cov, 1.0, method=method)
+    o_mean, o_cov = feature_stats(out)
+    np.testing.assert_allclose(np.asarray(o_mean), np.asarray(s_mean), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(o_cov), np.asarray(s_cov), rtol=2e-1, atol=np.abs(np.asarray(s_cov)).max() * 5e-2)
+
+
+def test_alpha_zero_is_identity(rng):
+    x = _rand_feat(rng, 400, 16).reshape(1, 20, 20, 16)
+    s = _rand_feat(rng, 400, 16)
+    s_mean, s_cov = feature_stats(jnp.asarray(s))
+    out = wct_transform(jnp.asarray(x), s_mean, s_cov, 0.0)
+    np.testing.assert_allclose(np.asarray(out), x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["eigh", "newton"])
+def test_parity_with_f64_oracle(method):
+    """Full transform vs the float64 numpy oracle (reference util_wct.py math).
+
+    Uses a fixed seed with benign conditioning: near-singular covariances are
+    resolved differently by f32 truncation (eigh) / regularized Newton vs the
+    f64 oracle by design — that regime is covered by the statistics tests.
+    """
+    rng = np.random.default_rng(0)
+    c, h, w = 32, 24, 24
+    cf = _rand_feat(rng, h * w, c).reshape(1, h, w, c)
+    sf = _rand_feat(rng, h * w, c, scale=1.5).reshape(h * w, c)
+    s_mean, s_cov = feature_stats(jnp.asarray(sf))
+    alpha = 0.7
+    ours = np.asarray(wct_transform(jnp.asarray(cf), s_mean, s_cov, alpha, method=method))
+    ref = torch_oracle.wct_oracle(
+        cf[0].transpose(2, 0, 1), sf.T.reshape(c, h, w), alpha
+    ).reshape(c, h, w).transpose(1, 2, 0)[None]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=2e-3 * scale)
+
+
+def test_transform_preserves_shape_and_dtype(rng):
+    x = jnp.asarray(_rand_feat(rng, 64, 8).reshape(2, 4, 8, 8), jnp.bfloat16)
+    s_mean, s_cov = feature_stats(x)
+    out = wct_transform(x, s_mean, s_cov, 1.0)
+    assert out.shape == x.shape and out.dtype == x.dtype
