@@ -90,7 +90,7 @@ class WCTEngine:
 
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
-                 dtype=jnp.float32, stages=(5, 4, 3, 2, 1)):
+                 dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0):
         self.mode = mode
         self.method = method
         self.newton_iters = newton_iters
@@ -101,6 +101,16 @@ class WCTEngine:
         self._stage_fns: dict[int, callable] = {}
         self._style_stats_fns: dict[int, callable] = {}
         self._style_cache: dict = {}
+        # spatial tiling over a 'space' mesh axis (UHD path)
+        self.space = space if space and space > 1 else 0
+        self._tiled_fn = None
+        if self.space:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.spatial import build_tiled_stylize_fn
+            self.mesh = make_mesh(space=self.space)
+            self._tiled_fn = build_tiled_stylize_fn(
+                self.pyramid, self.mesh, stages=self.stages, method=method,
+                newton_iters=newton_iters)
 
     # -- jitted building blocks (cached per stage; XLA caches per shape) --
 
@@ -138,14 +148,23 @@ class WCTEngine:
             style = style[None]
         img = jnp.asarray(content, self.dtype)
         sty = jnp.asarray(style, self.dtype)
-        img, orig_hw = _pad_to_multiple(img, 16)
-        sty, _ = _pad_to_multiple(sty, 16)
+        mult = 16 * self.space if self.space else 16
+        img, orig_hw = _pad_to_multiple(img, mult)
+        sty, _ = _pad_to_multiple(sty, mult)
         alpha = jnp.asarray(alpha, jnp.float32)
-        for _ in range(num_run):
-            for k in self.stages:
-                s_mean, s_cov = self._style_stats(k, sty, cache_key=style_key)
-                img = self._stage_fn(k)(self.params[k]["enc"], self.params[k]["dec"],
-                                        img, s_mean, s_cov, alpha)
+        if self._tiled_fn is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P(None, "space", None, None))
+            img = jax.device_put(img, sharding)
+            sty = jax.device_put(sty, sharding)
+            for _ in range(num_run):
+                img = self._tiled_fn(self.params, img, sty, alpha)
+        else:
+            for _ in range(num_run):
+                for k in self.stages:
+                    s_mean, s_cov = self._style_stats(k, sty, cache_key=style_key)
+                    img = self._stage_fn(k)(self.params[k]["enc"], self.params[k]["dec"],
+                                            img, s_mean, s_cov, alpha)
         img = img[:, : orig_hw[0], : orig_hw[1], :]
         out = np.asarray(jnp.clip(img, 0.0, 1.0), dtype=np.float32)
         return out[0] if squeeze else out

@@ -1,0 +1,108 @@
+"""Data pipeline: datasets, augmentation shapes, loader batching/prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from collaborative_distillation_tpu.data.pipeline import (
+    CenterCropDataset,
+    ContentStylePairDataset,
+    ImageFolderDataset,
+    Loader,
+    NpyFolderDataset,
+    PairGridDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i, size in enumerate([(320, 400), (500, 280), (300, 300), (290, 310)]):
+        arr = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.jpg")
+    (d / "notes.txt").write_text("not an image")
+    return str(d)
+
+
+def test_image_folder_dataset(img_dir):
+    ds = ImageFolderDataset(img_dir, shorter_side=300, crop=256)
+    assert len(ds) == 4  # txt file filtered out
+    arr, path = ds[0]
+    assert arr.shape == (256, 256, 3)
+    assert arr.dtype == np.float32 and 0 <= arr.min() and arr.max() <= 1
+    assert path.endswith(".jpg")
+
+
+def test_center_crop_deterministic(img_dir):
+    ds = CenterCropDataset(img_dir, shorter_side=300, crop=256)
+    a1, _ = ds[1]
+    a2, _ = ds[1]
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_npy_dataset(tmp_path):
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        np.save(tmp_path / f"x{i}.npy", (rng.random((300, 300, 3)) * 255).astype(np.uint8))
+    ds = NpyFolderDataset(str(tmp_path), crop=256)
+    arr, _ = ds[0]
+    assert arr.shape == (256, 256, 3) and arr.max() <= 1.0
+
+
+def test_content_style_pair(img_dir):
+    ds = ContentStylePairDataset(img_dir, img_dir, shorter_side=300, crop=256)
+    c, s = ds[2]
+    assert c.shape == s.shape == (256, 256, 3)
+
+
+def test_pair_grid_cross_product(img_dir):
+    ds = PairGridDataset(img_dir, img_dir)
+    assert len(ds) == 16  # 4 x 4
+    c, s, name = ds[0]
+    assert name == "img0+img0.jpg"
+    assert c.ndim == 3 and s.ndim == 3
+
+
+def test_pair_grid_picked_marks(img_dir):
+    ds = PairGridDataset(img_dir, img_dir, picked_content_mark="img1",
+                         picked_style_mark="img2")
+    assert len(ds) == 1
+    assert ds[0][2] == "img1+img2.jpg"
+
+
+def test_pair_grid_resize(img_dir):
+    ds = PairGridDataset(img_dir, img_dir, content_size=128, style_size=64)
+    c, s, _ = ds[0]
+    assert min(c.shape[:2]) == 128
+    assert min(s.shape[:2]) == 64
+
+
+def test_pair_grid_synthesis(img_dir):
+    ds = PairGridDataset(img_dir, img_dir, texture_dir=img_dir,
+                         synthesis=True, style_size=100)
+    c, s, name = ds[0]
+    assert c.shape == s.shape  # noise content matches texture size
+    assert name == "img0.jpg"
+    assert 0 <= c.min() and c.max() <= 1
+
+
+def test_loader_batching_and_order(img_dir):
+    ds = ImageFolderDataset(img_dir, shorter_side=300, crop=128)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2 == len(loader)
+    imgs, paths = batches[0]
+    assert imgs.shape == (2, 128, 128, 3)
+    assert [os.path.basename(p) for p in paths] == ["img0.jpg", "img1.jpg"]
+
+
+def test_loader_shuffles_between_epochs(img_dir):
+    ds = ImageFolderDataset(img_dir, shorter_side=300, crop=64)
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=3)
+    p1 = [p for _, paths in loader for p in paths]
+    p2 = [p for _, paths in loader for p in paths]
+    assert sorted(p1) == sorted(p2)
+    assert p1 != p2  # a reshuffle happened (4! = 24 orders; collision unlikely)
