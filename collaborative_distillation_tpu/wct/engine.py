@@ -90,7 +90,8 @@ class WCTEngine:
 
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
-                 dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0):
+                 dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
+                 slab_rows: int = 0):
         self.mode = mode
         self.method = method
         self.newton_iters = newton_iters
@@ -102,6 +103,13 @@ class WCTEngine:
         self._style_stats_fns: dict[int, callable] = {}
         self._style_cache: dict = {}
         # spatial tiling over a 'space' mesh axis (UHD path)
+        # shingled slab streaming for single-chip ultra-resolution inputs
+        self.slab = None
+        if slab_rows:
+            from .slab import SlabCascade
+            self.slab = SlabCascade(self.pyramid, stages=self.stages,
+                                    slab_rows=slab_rows, method=method,
+                                    newton_iters=newton_iters)
         self.space = space if space and space > 1 else 0
         self._tiled_fn = None
         if self.space:
@@ -152,7 +160,10 @@ class WCTEngine:
         img, orig_hw = _pad_to_multiple(img, mult)
         sty, _ = _pad_to_multiple(sty, mult)
         alpha = jnp.asarray(alpha, jnp.float32)
-        if self._tiled_fn is not None:
+        if self.slab is not None:
+            for _ in range(num_run):
+                img = self.slab.stylize(img, sty, alpha)
+        elif self._tiled_fn is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sharding = NamedSharding(self.mesh, P(None, "space", None, None))
             img = jax.device_put(img, sharding)

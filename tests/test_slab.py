@@ -1,0 +1,99 @@
+"""Shingled slab streaming: interior exactness vs the full-image cascade."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from collaborative_distillation_tpu.models import decoder_spec, encoder_spec, init_params
+from collaborative_distillation_tpu.wct.engine import stylize_cascade_fn
+from collaborative_distillation_tpu.wct.slab import SlabCascade, receptive_radius
+
+
+def test_receptive_radius_values():
+    assert receptive_radius(encoder_spec("16x", 1, aux=True)) == 1
+    assert receptive_radius(encoder_spec("16x", 2, aux=True)) == 4   # 1+1+2
+    assert receptive_radius(encoder_spec("16x", 5, aux=True)) == 70
+    assert receptive_radius(decoder_spec("16x", 5)) == 70
+    assert receptive_radius(decoder_spec("16x", 1)) == 1
+
+
+def _pyramid(stages, key=0):
+    pyramid = {}
+    k = jax.random.key(key)
+    for s in stages:
+        k, k1, k2 = jax.random.split(k, 3)
+        espec = encoder_spec("16x", s, aux=True)
+        dspec = decoder_spec("16x", s)
+        pyramid[s] = {"enc_spec": espec, "dec_spec": dspec,
+                      "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}
+    return pyramid
+
+
+def test_slab_stats_match_full(rng):
+    """Slab-accumulated feature statistics == full-image statistics (the
+    foundation of seamless slab WCT)."""
+    import jax.numpy as jnp
+    from collaborative_distillation_tpu.models import apply_encoder
+    from collaborative_distillation_tpu.ops import feature_stats
+
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    cascade = SlabCascade(pyramid, stages=stages, slab_rows=32)
+    x = jnp.asarray(rng.random((1, 128, 48, 3), dtype=np.float32))
+    spec = pyramid[2]["enc_spec"]
+    enc = pyramid[2]["enc"]
+    full_feats = apply_encoder(enc, x, spec)["out"]
+    g_mean, g_cov = feature_stats(full_feats)
+
+    s1 = s2 = None
+    stats = cascade._stats_fn(2)
+    import jax.lax as lax
+    for start, rows, off in cascade._slabs(128):
+        a, b = stats(enc, lax.dynamic_slice_in_dim(x, start, rows, axis=1),
+                     jnp.int32(off // 2))
+        s1 = a if s1 is None else s1 + a
+        s2 = b if s2 is None else s2 + b
+    count = 4 * (32 // 2) * (48 // 2)
+    mean = s1 / count
+    cov = (s2 - count * np.outer(mean, mean)) / (count - 1)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(g_mean), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(g_cov), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("stages,slab", [((1,), 16), ((2, 1), 32), ((3, 2, 1), 64)])
+def test_slab_matches_full(rng, stages, slab):
+    """Slab semantics are exact everywhere (global edges run per-conv reflect,
+    interior seams are margin-cropped); remaining diffs are f32 stat
+    reassociation amplified by eigh on random toy weights."""
+    pyramid = _pyramid(stages)
+    params = {s: {"enc": pyramid[s]["enc"], "dec": pyramid[s]["dec"]} for s in stages}
+    h, w = 4 * slab, 48
+    content = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 48, 3), dtype=np.float32))
+
+    full = stylize_cascade_fn(pyramid, stages=stages)(params, content, style, 0.9)
+    cascade = SlabCascade(pyramid, stages=stages, slab_rows=slab)
+    out = cascade.stylize(content, style, 0.9)
+
+    assert out.shape == full.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=5e-2)
+
+
+def test_slab_handles_non_multiple_height(rng):
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    cascade = SlabCascade(pyramid, stages=stages, slab_rows=32)
+    content = jnp.asarray(rng.random((1, 100, 32, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    out = cascade.stylize(content, style, 1.0)
+    assert out.shape == (1, 100, 32, 3)
+
+
+def test_margin_covers_enc_dec_radius():
+    pyramid = _pyramid((5, 4, 3, 2, 1))
+    cascade = SlabCascade(pyramid, slab_rows=1024)
+    assert cascade.margin >= 140
+    assert cascade.margin % 16 == 0
+    assert cascade.slab_rows % 16 == 0
