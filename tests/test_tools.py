@@ -1,0 +1,106 @@
+"""Offline tool CLIs: prune, plot_loss parser, activation normalization,
+image prep."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from collaborative_distillation_tpu.models.specs import encoder_spec
+from collaborative_distillation_tpu.models.vgg import init_params
+from collaborative_distillation_tpu.models.zoo import load_stage_params
+from collaborative_distillation_tpu.utils.torch_convert import save_tree_npz
+
+
+def _save_params(params, path):
+    save_tree_npz({k: {n: np.asarray(v) for n, v in e.items()}
+                   for k, e in params.items()}, path)
+
+
+def test_prune_cli_roundtrip(tmp_path):
+    from collaborative_distillation_tpu.cli.prune import main
+
+    t_spec = encoder_spec("original", 2)
+    teacher = init_params(t_spec, jax.random.key(0))
+    tpath = str(tmp_path / "e2.npz")
+    _save_params(teacher, tpath)
+    out = str(tmp_path / "e2_base.npz")
+    assert main(["--teacher", tpath, "--kind", "encoder", "--stage", "2",
+                 "--output", out]) == 0
+    s_spec = encoder_spec("16x", 2, aux=True)
+    student = load_stage_params(out, s_spec)  # validates shapes
+    assert student["conv21"]["w"].shape == (3, 3, 16, 32)
+
+
+def test_plot_loss_parser(tmp_path):
+    from collaborative_distillation_tpu.cli.plot_loss import main, parse_log
+
+    log = tmp_path / "log.txt"
+    log.write_text(
+        "[abc 1 2026/01/01-00:00:00] args: {...}\n"
+        "[abc 1 2026/01/01-00:00:01] E1S0 feat (*10): 5.657 | pixl (*1): 0.197 (23.45 s/step)\n"
+        "[abc 1 2026/01/01-00:00:02] E1S10 feat (*10): 5.535 | pixl (*1): 0.190 (17.47 s/step)\n"
+        "[abc 1 2026/01/01-00:00:03] epoch 1 done; checkpoint at x.npz\n")
+    curves = parse_log(str(log))
+    assert set(curves) == {"feat", "pixl"}
+    assert [v for _, v in curves["feat"]] == [5.657, 5.535]
+    out = str(tmp_path / "loss.png")
+    assert main([str(log), "--out", out]) == 0
+    assert os.path.getsize(out) > 0
+
+
+def test_plot_loss_empty_log(tmp_path):
+    from collaborative_distillation_tpu.cli.plot_loss import main
+
+    log = tmp_path / "empty.txt"
+    log.write_text("nothing here\n")
+    assert main([str(log), "--out", str(tmp_path / "x.png")]) == 1
+
+
+def test_normalize_encoder_unit_mean_activation(rng):
+    from collaborative_distillation_tpu.cli.normalize_vgg import normalize_encoder
+    from collaborative_distillation_tpu.models.vgg import apply_encoder
+    import jax.numpy as jnp
+
+    spec = encoder_spec("original", 2)
+    params = init_params(spec, jax.random.key(1))
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32) for _ in range(2)]
+    normed = normalize_encoder(params, spec, batches)
+    # every conv layer's mean post-relu activation over the set must be ~1
+    from collaborative_distillation_tpu.ops.conv import conv1x1, conv3x3, max_pool_2x2
+    for target in [l.name for l in spec.layers]:
+        means, total = None, 0
+        for b in batches:
+            h = jnp.asarray(b)
+            h = conv1x1(h, normed["conv0"]["w"], normed["conv0"]["b"])
+            for layer in spec.layers:
+                h2 = conv3x3(h, normed[layer.name]["w"], normed[layer.name]["b"])
+                if layer.name == target:
+                    m = np.asarray(jnp.mean(h2, axis=(0, 1, 2))) * b.shape[0]
+                    means = m if means is None else means + m
+                    total += b.shape[0]
+                    break
+                h = h2
+                if layer.pool_after:
+                    h = max_pool_2x2(h)
+        m = means / total
+        # dead ReLU filters (possible under random init) stay at 0 — scaling
+        # a never-positive pre-activation can't revive it; real VGG weights
+        # have none. All live filters must normalize to 1.
+        live = m > 1e-6
+        assert live.mean() > 0.5
+        np.testing.assert_allclose(m[live], 1.0, rtol=1e-3)
+
+
+def test_imgtools(tmp_path):
+    from collaborative_distillation_tpu.cli.imgtools import main
+
+    arr = (np.random.default_rng(0).random((60, 100, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(tmp_path / "a.jpg")
+    assert main(["crop-center", str(tmp_path)]) == 0
+    assert Image.open(tmp_path / "a_cropped.jpg").size == (60, 60)
+    assert main(["resize", str(tmp_path), "--size", "32", "16"]) == 0
+    assert Image.open(tmp_path / "a_resized.jpg").size == (32, 16)
