@@ -1,0 +1,70 @@
+"""WCTEngine surface: bf16 path, partial stages, synthetic-weight smoke."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from collaborative_distillation_tpu.models import decoder_spec, encoder_spec, init_params
+from collaborative_distillation_tpu.wct.engine import WCTEngine, stylize_cascade_fn
+
+
+def _toy_pyramid(stages, key=0):
+    pyramid = {}
+    k = jax.random.key(key)
+    for s in stages:
+        k, k1, k2 = jax.random.split(k, 3)
+        espec = encoder_spec("16x", s, aux=True)
+        dspec = decoder_spec("16x", s)
+        pyramid[s] = {"enc_spec": espec, "dec_spec": dspec,
+                      "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}
+    return pyramid
+
+
+def test_bf16_cascade_close_to_f32(rng):
+    """bf16 activations through the cascade must stay close to f32 output
+    (the WCT statistics run in f32 internally regardless)."""
+    stages = (2, 1)
+    pyramid32 = _toy_pyramid(stages)
+    params32 = {s: {"enc": pyramid32[s]["enc"], "dec": pyramid32[s]["dec"]} for s in stages}
+    params16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params32)
+    content = rng.random((1, 64, 64, 3), dtype=np.float32)
+    style = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    f = stylize_cascade_fn(pyramid32, stages=stages)
+    out32 = f(params32, jnp.asarray(content), jnp.asarray(style), 1.0)
+    out16 = f(params16, jnp.asarray(content, jnp.bfloat16),
+              jnp.asarray(style, jnp.bfloat16), 1.0)
+    assert out16.dtype == jnp.bfloat16
+    diff = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+    assert diff.mean() < 0.05, diff.mean()
+
+
+def test_engine_with_real_weights_all_modes(weights_root, rng):
+    """Every shipped mode loads and stylizes a small pair."""
+    c = rng.random((48, 64, 3), dtype=np.float32)
+    s = rng.random((48, 64, 3), dtype=np.float32)
+    for mode in ["16x", "16x_base"]:
+        eng = WCTEngine(mode=mode, weights_root=weights_root, stages=(2, 1))
+        out = eng.stylize(c, s)
+        assert out.shape == c.shape
+        assert np.isfinite(out).all()
+
+
+def test_engine_num_run(weights_root, rng):
+    c = rng.random((32, 32, 3), dtype=np.float32)
+    s = rng.random((32, 32, 3), dtype=np.float32)
+    eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(1,))
+    out1 = eng.stylize(c, s, num_run=1)
+    out2 = eng.stylize(c, s, num_run=2)
+    assert out1.shape == out2.shape
+    assert not np.allclose(out1, out2)  # a second cascade pass changes pixels
+
+
+def test_engine_batch_input(weights_root, rng):
+    c = rng.random((2, 32, 32, 3), dtype=np.float32)
+    s = rng.random((2, 32, 32, 3), dtype=np.float32)
+    eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(1,))
+    out = eng.stylize(c, s)
+    assert out.shape == c.shape
