@@ -84,10 +84,14 @@ def main(argv=None) -> int:
         content, style, name = dataset[i]
         log("*" * 30 + f' #{i}: Transferring "{name}"')
         t0 = time.time()
-        out = engine.stylize(content, style, alpha=args.alpha,
-                             num_run=args.num_run, style_key=dataset.pairs[i][1])
+        # uint8 at the host<->device boundary: 4x less transfer than f32
+        out = engine.stylize((content * 255).astype(np.uint8),
+                             (style * 255).astype(np.uint8), alpha=args.alpha,
+                             num_run=args.num_run, style_key=dataset.pairs[i][1],
+                             as_uint8=True)
         out_name = f"{args.log_mark}_mode={args.mode}_alpha={args.alpha}_{name}"
-        save_image(out, os.path.join(args.outf, out_name))
+        from PIL import Image
+        Image.fromarray(out).save(os.path.join(args.outf, out_name))
         dt = time.time() - t0
         total_t += dt
         tp.tick(content.shape[0] * content.shape[1])

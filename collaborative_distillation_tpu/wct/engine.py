@@ -146,16 +146,23 @@ class WCTEngine:
         return stats
 
     def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
-                *, num_run: int = 1, style_key=None) -> np.ndarray:
-        """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3)
-        float in [0, 1]; returns the same rank, clipped to [0, 1]."""
+                *, num_run: int = 1, style_key=None, as_uint8: bool = False) -> np.ndarray:
+        """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3),
+        float in [0, 1] or uint8 in [0, 255]; returns the same rank, clipped.
+
+        uint8 inputs/outputs are converted on-device: only 3 bytes/pixel cross
+        the host<->device link, which matters at UHD scale (the device cascade
+        is ~3 s for 42 MPix; an f32 image is 0.5 GB of transfer).
+        """
         squeeze = content.ndim == 3
         if squeeze:
             content = content[None]
         if style.ndim == 3:
             style = style[None]
-        img = jnp.asarray(content, self.dtype)
-        sty = jnp.asarray(style, self.dtype)
+        img = jnp.asarray(content)
+        sty = jnp.asarray(style)
+        img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img).astype(self.dtype)
+        sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
         mult = 16 * self.space if self.space else 16
         img, orig_hw = _pad_to_multiple(img, mult)
         sty, _ = _pad_to_multiple(sty, mult)
@@ -177,5 +184,18 @@ class WCTEngine:
                     img = self._stage_fn(k)(self.params[k]["enc"], self.params[k]["dec"],
                                             img, s_mean, s_cov, alpha)
         img = img[:, : orig_hw[0], : orig_hw[1], :]
-        out = np.asarray(jnp.clip(img, 0.0, 1.0), dtype=np.float32)
+        if as_uint8:
+            out = np.asarray(self._float_to_u8(img))
+        else:
+            out = np.asarray(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))
         return out[0] if squeeze else out
+
+    @staticmethod
+    @jax.jit
+    def _u8_to_float(x):
+        return x.astype(jnp.float32) / 255.0
+
+    @staticmethod
+    @jax.jit
+    def _float_to_u8(x):
+        return (jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
