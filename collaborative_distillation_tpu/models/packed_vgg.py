@@ -1,0 +1,188 @@
+"""Width-packed VGG pyramid: lane-dense encoder/decoder applies.
+
+Companion to :mod:`..ops.packed`. The whole cascade runs in packed space:
+
+* the image is packed once (f=8 phase columns into channels);
+* each conv runs at its input's packing factor; afterwards, if f*C_out
+  drifts above 128, the tensor is repacked (a reshape) down to the largest
+  power-of-two f with f*C_out <= 128 — so every persistent feature map is
+  lane-dense;
+* WCT statistics never unpack: the packed gram's phase-diagonal C x C blocks
+  sum to the original gram, and the coloring transform applies in packed
+  space as kron(I_f, T);
+* pools / upsamples are packed-space reshapes (ops/packed.py).
+
+Exactness: packed conv == reflect-pad conv for interior AND W edges (the
+packed pad columns reproduce reflection); H edges are reflect-padded
+normally. Tests pin packed == unpacked bit-for-bit modulo MXU precision mode.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.packed import (
+    pack_conv3x3_weights,
+    pack_width,
+    packed_conv3x3,
+    packed_max_pool_2x2,
+    packed_upsample_nearest_2x,
+    repack,
+    unpack_width,
+)
+from .specs import StageSpec
+
+__all__ = [
+    "plan_packing",
+    "pack_stage_params",
+    "apply_encoder_packed",
+    "apply_decoder_packed",
+    "packed_feature_stats",
+    "packed_wct_apply",
+    "MAX_PACK",
+]
+
+MAX_PACK = 8
+
+
+def _f_for(c: int) -> int:
+    f = 1
+    while f < MAX_PACK and (f * 2) * c <= 128:
+        f *= 2
+    return f
+
+
+def plan_packing(spec: StageSpec) -> list[tuple[str, int, int]]:
+    """[(layer_name, f_in, f_out_after_repack)] for the spec's conv chain.
+
+    f_in of the first layer is the image/feature ingress packing.
+    """
+    plan = []
+    if spec.kind == "encoder":
+        f = MAX_PACK  # image: 3 channels, pack as hard as possible
+    else:
+        f = _f_for(spec.layers[0].in_ch)
+    for layer in spec.layers:
+        f_in = f
+        f_out = _f_for(layer.out_ch)
+        # never repack upward mid-stream beyond the input f (pool/upsample
+        # preserve f; growing f again would relayout for no bandwidth gain)
+        f_out = min(f_out, MAX_PACK)
+        plan.append((layer.name, f_in, f_out))
+        f = f_out
+    return plan
+
+
+def pack_stage_params(params, spec: StageSpec):
+    """Host-side: pack every 3x3 conv's weights per the packing plan.
+
+    conv0 (1x1, encoders) packs as kron(I_f, w). Aux adapters are not packed
+    (they are training-only). Returns a params tree of jnp arrays keyed like
+    the original, plus "__plan__" metadata handled by the apply fns.
+    """
+    plan = plan_packing(spec)
+    packed = {}
+    if spec.has_conv0:
+        w = np.asarray(params["conv0"]["w"])[0, 0]  # (3, 3) in->out
+        b = np.asarray(params["conv0"]["b"])
+        f0 = plan[0][1]
+        wk = np.kron(np.eye(f0, dtype=w.dtype), w)
+        packed["conv0"] = {"w": jnp.asarray(wk[None, None]), "b": jnp.asarray(np.tile(b, f0))}
+    for (name, f_in, _f_out), layer in zip(plan, spec.layers):
+        w = np.asarray(params[layer.name]["w"])
+        b = np.asarray(params[layer.name]["b"])
+        wp, bp = pack_conv3x3_weights(w, b, f_in)
+        packed[name] = {"w": jnp.asarray(wp), "b": jnp.asarray(bp)}
+    return packed
+
+
+def apply_encoder_packed(packed_params, x: jax.Array, spec: StageSpec):
+    """x: (N, H, W, 3) unpacked image -> (packed_feature, f_final).
+
+    Returns the relu{k}_1 output still packed; use
+    :func:`packed_feature_stats` / :func:`packed_wct_apply` on it directly.
+    """
+    assert spec.kind == "encoder"
+    plan = plan_packing(spec)
+    f = plan[0][1]
+    x = pack_width(x, f)
+    if spec.has_conv0:
+        p = packed_params["conv0"]
+        x = lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        x = (x + p["b"].astype(jnp.float32)).astype(jnp.float32).astype(x.dtype)
+    for (name, f_in, f_out), layer in zip(plan, spec.layers):
+        p = packed_params[name]
+        x = packed_conv3x3(x, p["w"], p["b"], f_in, relu=layer.relu)
+        if f_out != f_in:
+            x = repack(x, f_in, f_out)
+        f = f_out
+        if layer.pool_after:
+            x = packed_max_pool_2x2(x, f)
+    return x, f
+
+
+def apply_decoder_packed(packed_params, x: jax.Array, f_in: int, spec: StageSpec) -> jax.Array:
+    """packed feature (f_in) -> unpacked image (N, H, W, 3)."""
+    assert spec.kind == "decoder"
+    plan = plan_packing(spec)
+    assert plan[0][1] == f_in, (plan[0], f_in)
+    f = f_in
+    for (name, fi, fo), layer in zip(plan, spec.layers):
+        p = packed_params[name]
+        x = packed_conv3x3(x, p["w"], p["b"], fi, relu=layer.relu)
+        if fo != fi:
+            x = repack(x, fi, fo)
+        f = fo
+        if layer.unpool_after:
+            x = packed_upsample_nearest_2x(x, f)
+    return unpack_width(x, f)
+
+
+def packed_feature_stats(xp: jax.Array, f: int, c: int):
+    """(mean (C,), cov (C,C)) of the *original* channels from a packed map.
+
+    The packed gram's phase-diagonal blocks sum to the original gram, and
+    phase-block means sum to the original sum — no relayout of the feature
+    map is needed; one dense (fC x fC) GEMM does the reduction.
+    """
+    p_eff = xp.shape[0] * xp.shape[1] * xp.shape[2] * f  # original pixel count
+    x2 = xp.reshape(-1, xp.shape[-1]).astype(jnp.float32)
+    s1 = jnp.sum(x2, axis=0).reshape(f, c).sum(axis=0)
+    gram = lax.dot_general(x2, x2, (((0,), (0,)), ((), ())),
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    blocks = gram.reshape(f, c, f, c)
+    diag = jnp.einsum("icid->cd", blocks, precision=lax.Precision.HIGHEST) \
+        if f > 1 else blocks.reshape(c, c)
+    mean = s1 / p_eff
+    cov = (diag - p_eff * jnp.outer(mean, mean)) / (p_eff - 1)
+    return mean, cov
+
+
+def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
+                     c_mean: jax.Array, s_mean: jax.Array, alpha) -> jax.Array:
+    """Apply the C x C coloring matrix in packed space via kron(I_f, T)."""
+    shape, dtype = xp.shape, xp.dtype
+    x2 = xp.reshape(-1, shape[-1]).astype(jnp.float32)
+    if f > 1:
+        tk = jnp.kron(jnp.eye(f, dtype=t.dtype), t)
+        cm = jnp.tile(c_mean, f)
+        sm = jnp.tile(s_mean, f)
+    else:
+        tk, cm, sm = t, c_mean, s_mean
+    target = lax.dot_general(x2 - cm, tk, (((1,), (1,)), ((), ())),
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32) + sm
+    alpha = jnp.asarray(alpha, jnp.float32)
+    out = alpha * target + (1.0 - alpha) * x2
+    return out.reshape(shape).astype(dtype)

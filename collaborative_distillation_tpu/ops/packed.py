@@ -1,0 +1,156 @@
+"""Width-packed convolutions: lane-dense layouts for skinny VGG layers.
+
+TPU arrays tile their minor-most dimension onto 128 hardware lanes. The 16x
+students' early layers have 16-32 channels, so NHWC feature maps waste up to
+8x of every HBM byte and MXU tile on lane padding — measured: a single
+full-UHD C=16 conv allocates 21.5 GB for a 2.7 GB logical tensor.
+
+The fix: pack F adjacent *columns* into the channel dimension so the minor
+dim is F*C ≈ 128 ("phase-major": channel index = p*C + c for column phase p).
+A stride-1 3x3 conv on the unpacked image is *exactly* a 3x3 conv on the
+packed image with a block-structured kernel (mostly zeros):
+
+    out[col j, phase q] sums taps at original columns j*F+q+dx, dx in -1..1,
+    which live in packed columns j-1, j, j+1 at phases (q+dx) mod F
+    => W_packed[kh, (j'-j)+1, p*C+c, q*Co+co] = w[kh, dx+1, c, co]
+       where p = (q+dx) mod F and j'-j = (q+dx) // F  (in {-1,0,1}).
+
+The dense packed kernel does F times the MACs, but on a systolic array that
+previously idled (128-C)/128 of its lanes the *time* is the same — while HBM
+traffic drops F-fold. Pooling, nearest-upsampling and repacking are pure
+reshapes in packed space. All of this is plain XLA; no custom kernels needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "pack_width",
+    "unpack_width",
+    "pack_conv3x3_weights",
+    "packed_conv3x3",
+    "packed_max_pool_2x2",
+    "packed_upsample_nearest_2x",
+    "repack",
+]
+
+
+def pack_width(x: jax.Array, f: int) -> jax.Array:
+    """(N, H, W, C) -> (N, H, W/f, f*C), phase-major channels."""
+    if f == 1:
+        return x
+    n, h, w, c = x.shape
+    assert w % f == 0, (w, f)
+    return x.reshape(n, h, w // f, f * c)
+
+
+def unpack_width(x: jax.Array, f: int) -> jax.Array:
+    """(N, H, Wp, f*C) -> (N, H, Wp*f, C)."""
+    if f == 1:
+        return x
+    n, h, wp, fc = x.shape
+    return x.reshape(n, h, wp * f, fc // f)
+
+
+def repack(x: jax.Array, f_from: int, f_to: int) -> jax.Array:
+    """Change the packing factor (both powers of two)."""
+    if f_from == f_to:
+        return x
+    return pack_width(unpack_width(x, f_from), f_to)
+
+
+def pack_conv3x3_weights(w: np.ndarray, b: np.ndarray, f: int):
+    """(3,3,C,Co) HWIO + (Co,) -> packed (3,3,f*C,f*Co) + (f*Co,).
+
+    Host-side, done once at load time.
+    """
+    w = np.asarray(w)
+    b = np.asarray(b)
+    kh, kw, c, co = w.shape
+    assert kh == kw == 3
+    if f == 1:
+        return w, b
+    wp = np.zeros((3, 3, f * c, f * co), w.dtype)
+    for q in range(f):
+        for dx in (-1, 0, 1):
+            p = (q + dx) % f
+            dj = (q + dx) // f if (q + dx) >= 0 else -1
+            wp[:, dj + 1, p * c:(p + 1) * c, q * co:(q + 1) * co] = w[:, dx + 1]
+    bp = np.tile(b, f)
+    return wp, bp
+
+
+def _reflect_pad_w_packed(x: jax.Array, f: int) -> jax.Array:
+    """Packed-space equivalent of a 1-column reflect pad.
+
+    Only one phase of each pad column is ever read by the packed kernel
+    (phase f-1 on the left = original column -1 -> reflects to column 1 =
+    packed col 0 phase 1; phase 0 on the right -> original column W -> W-2).
+    We build full pad columns with those phases correct.
+    """
+    n, h, wp, fc = x.shape
+    c = fc // f
+    if f == 1:
+        return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+    left = jnp.zeros((n, h, 1, fc), x.dtype)
+    # left pad col, phase f-1 <- packed col 0, phase 1 (original column 1)
+    left = left.at[..., (f - 1) * c:].set(x[:, :, :1, c:2 * c])
+    right = jnp.zeros((n, h, 1, fc), x.dtype)
+    # right pad col, phase 0 <- packed col -1, phase f-2 (original col W-2)
+    right = right.at[..., :c].set(x[:, :, -1:, (f - 2) * c:(f - 1) * c])
+    return jnp.concatenate([left, x, right], axis=2)
+
+
+def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array,
+                   f: int, *, relu: bool = True) -> jax.Array:
+    """Reflect-pad + 3x3 conv + optional relu, in width-packed space.
+
+    ``x``: (N, H, Wp, f*C); H is reflect-padded normally, W via the packed
+    pad-column construction. Uses default (bf16) MXU precision with f32
+    accumulation — the conv path's speed mode.
+    """
+    x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    x = _reflect_pad_w_packed(x, f)
+    y = lax.conv_general_dilated(
+        x, w_packed.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y + b_packed.astype(jnp.float32)).astype(x.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+def packed_max_pool_2x2(x: jax.Array, f: int) -> jax.Array:
+    """2x2/2 max pool in packed space: H via reduce_window, W via a
+    phase-pair max (pure reshape)."""
+    n, h, wp, fc = x.shape
+    c = fc // f
+    x = x[:, : (h // 2) * 2]
+    # H pooling
+    x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    if f == 1:
+        return lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID")
+    # W pooling: adjacent phases pair up; Wp halves when we re-group columns
+    assert wp % 2 == 0
+    x = x.reshape(n, h // 2, wp // 2, 2 * f, c)        # two packed cols -> 2f phases
+    x = x.reshape(n, h // 2, wp // 2, f, 2, c).max(axis=4)
+    return x.reshape(n, h // 2, wp // 2, f * c)
+
+
+def packed_upsample_nearest_2x(x: jax.Array, f: int) -> jax.Array:
+    """Nearest 2x upsample in packed space (phases duplicate pairwise)."""
+    n, h, wp, fc = x.shape
+    c = fc // f
+    x = jnp.repeat(x, 2, axis=1)
+    if f == 1:
+        return jnp.repeat(x, 2, axis=2)
+    x = x.reshape(n, 2 * h, wp, f, 1, c)
+    x = jnp.broadcast_to(x, (n, 2 * h, wp, f, 2, c))
+    return x.reshape(n, 2 * h, wp * 2, f * c)

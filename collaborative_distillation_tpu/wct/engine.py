@@ -91,7 +91,7 @@ class WCTEngine:
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
-                 slab_rows: int = 0):
+                 slab_rows: int = 0, packed: bool = False):
         self.mode = mode
         self.method = method
         self.newton_iters = newton_iters
@@ -109,7 +109,7 @@ class WCTEngine:
             from .slab import SlabCascade
             self.slab = SlabCascade(self.pyramid, stages=self.stages,
                                     slab_rows=slab_rows, method=method,
-                                    newton_iters=newton_iters)
+                                    newton_iters=newton_iters, packed=packed)
         self.space = space if space and space > 1 else 0
         self._tiled_fn = None
         if self.space:

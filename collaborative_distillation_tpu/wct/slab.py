@@ -19,12 +19,16 @@ overlapping row slabs:
   decodes, and writes back interior rows. Peak HBM is bounded by the slab
   size, independent of image height.
 
-Global top/bottom edges use ``margin`` rows of input-level reflection. This
-differs from the reference's per-conv reflection only within the receptive
-field of the outermost rows (quantified in tests; visually nil). Interior
-seams are exact.
+Global top/bottom edges are exact: edge slabs start/end at the true image
+boundary, so the per-conv reflection the encoder applies there IS the
+reference's global-edge semantics; contamination from the arithmetically
+wrong reflection at interior slab-array edges dies within the receptive
+radius and is cropped.
 
-Two compiled programs per pyramid level, reused across all slabs.
+Two compiled programs per pyramid level, reused across all slabs. With
+``packed=True`` the slab programs run the width-packed lane-dense pipeline
+(models/packed_vgg.py) — same math, ~F x less HBM traffic on the skinny
+stages.
 """
 
 from __future__ import annotations
@@ -38,6 +42,15 @@ from jax import lax
 
 from ..models.specs import StageSpec
 from ..models.vgg import apply_decoder, apply_encoder
+from ..models.packed_vgg import (
+    apply_decoder_packed,
+    apply_encoder_packed,
+    pack_stage_params,
+    packed_feature_stats,
+    packed_wct_apply,
+    plan_packing,
+)
+from ..ops.packed import pack_width
 from ..ops.wct_transform import _mm, coloring_matrix
 
 __all__ = ["receptive_radius", "SlabCascade"]
@@ -95,6 +108,34 @@ def _slab_apply(enc_params, dec_params, slab_ext, offset, t, c_mean, s_mean, alp
     return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
 
 
+def _slab_stats_packed(enc_packed, slab_ext, offset_f, spec: StageSpec,
+                       interior_f: int, c: int):
+    """Packed-pipeline version of :func:`_slab_stats` (H slicing is unchanged
+    by width packing)."""
+    feats, f = apply_encoder_packed(enc_packed, slab_ext, spec)
+    inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
+    p_eff = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
+    x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
+    s1 = jnp.sum(x, axis=0).reshape(f, c).sum(axis=0)
+    gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
+                           preferred_element_type=jnp.float32)
+    if f > 1:
+        diag = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
+    else:
+        diag = gram
+    return s1, diag, p_eff
+
+
+def _slab_apply_packed(enc_packed, dec_packed, slab_ext, offset, t, c_mean,
+                       s_mean, alpha, enc_spec: StageSpec, dec_spec: StageSpec,
+                       interior: int):
+    feats, f = apply_encoder_packed(enc_packed, slab_ext, enc_spec)
+    c = t.shape[0]
+    csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
+    dec = apply_decoder_packed(dec_packed, csf, f, dec_spec)
+    return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
+
+
 class SlabCascade:
     """Streaming 5-level WCT cascade with bounded HBM (single chip).
 
@@ -104,8 +145,15 @@ class SlabCascade:
     """
 
     def __init__(self, pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
-                 method: str = "eigh", newton_iters: int = 24, eps: float = 1e-8):
+                 method: str = "eigh", newton_iters: int = 24, eps: float = 1e-8,
+                 packed: bool = False):
         self.pyramid = pyramid
+        self.packed = packed
+        if packed:
+            self.packed_params = {
+                k: {"enc": pack_stage_params(pyramid[k]["enc"], pyramid[k]["enc_spec"]),
+                    "dec": pack_stage_params(pyramid[k]["dec"], pyramid[k]["dec_spec"])}
+                for k in stages}
         self.stages = tuple(stages)
         self.method = method
         self.newton_iters = newton_iters
@@ -127,22 +175,35 @@ class SlabCascade:
         if k not in self._stats_fns:
             spec = self.pyramid[k]["enc_spec"]
             down = 2 ** (k - 1)
-            self._stats_fns[k] = jax.jit(partial(
-                _slab_stats, spec=spec, interior_f=self.slab_rows // down))
+            if self.packed:
+                self._stats_fns[k] = jax.jit(partial(
+                    _slab_stats_packed, spec=spec,
+                    interior_f=self.slab_rows // down, c=spec.out_channels))
+            else:
+                self._stats_fns[k] = jax.jit(partial(
+                    _slab_stats, spec=spec, interior_f=self.slab_rows // down))
         return self._stats_fns[k]
 
     def _apply_fn(self, k):
         if k not in self._apply_fns:
             enc_spec = self.pyramid[k]["enc_spec"]
             dec_spec = self.pyramid[k]["dec_spec"]
+            fn = _slab_apply_packed if self.packed else _slab_apply
             self._apply_fns[k] = jax.jit(partial(
-                _slab_apply, enc_spec=enc_spec, dec_spec=dec_spec,
+                fn, enc_spec=enc_spec, dec_spec=dec_spec,
                 interior=self.slab_rows))
         return self._apply_fns[k]
 
     def _style_stats(self, k, style):
         if k not in self._style_fns:
             spec = self.pyramid[k]["enc_spec"]
+
+            if self.packed:
+                def fp(p, s):
+                    feats, f_ = apply_encoder_packed(p, s, spec)
+                    return packed_feature_stats(feats, f_, spec.out_channels)
+                self._style_fns[k] = jax.jit(fp)
+                return self._style_fns[k](self.packed_params[k]["enc"], style)
 
             def f(p, s):
                 feats = apply_encoder(p, s, spec)["out"]
@@ -204,16 +265,22 @@ class SlabCascade:
             dec = self.pyramid[k]["dec"]
             down = 2 ** (k - 1)
             s_mean, s_cov = self._style_stats(k, style)
+            enc_in = self.packed_params[k]["enc"] if self.packed else enc
+            dec_in = self.packed_params[k]["dec"] if self.packed else dec
             # pass 1: exact global content stats from interior feature rows
             s1 = s2 = None
+            count = 0
             stats = self._stats_fn(k)
             for start, rows, off in self._slabs(hp):
-                a, b = stats(enc,
-                             lax.dynamic_slice_in_dim(img, start, rows, axis=1),
-                             jnp.int32(off // down))
+                r = stats(enc_in,
+                          lax.dynamic_slice_in_dim(img, start, rows, axis=1),
+                          jnp.int32(off // down))
+                a, b = r[0], r[1]
+                count += int(r[2]) if len(r) > 2 else 0
                 s1 = a if s1 is None else s1 + a
                 s2 = b if s2 is None else s2 + b
-            count = n_slabs * (slab // down) * (img.shape[2] // down)
+            if not count:
+                count = n_slabs * (slab // down) * (img.shape[2] // down)
             c_mean = s1 / count
             c_cov = (s2 - count * jnp.outer(c_mean, c_mean)) / (count - 1)
             t = jax.jit(partial(coloring_matrix, method=self.method,
@@ -223,7 +290,7 @@ class SlabCascade:
             apply = self._apply_fn(k)
             outs = []
             for start, rows, off in self._slabs(hp):
-                outs.append(apply(enc, dec,
+                outs.append(apply(enc_in, dec_in,
                                   lax.dynamic_slice_in_dim(img, start, rows, axis=1),
                                   jnp.int32(off), t, c_mean, s_mean, alpha))
             img = jnp.concatenate(outs, axis=1)

@@ -97,3 +97,22 @@ def test_margin_covers_enc_dec_radius():
     assert cascade.margin >= 140
     assert cascade.margin % 16 == 0
     assert cascade.slab_rows % 16 == 0
+
+
+@pytest.mark.parametrize("stages", [(2, 1), (3, 2, 1)])
+def test_packed_slab_matches_unpacked_slab(rng, stages):
+    """The lane-dense packed slab pipeline computes the same cascade."""
+    pyramid = _pyramid(stages)
+    slab = 64
+    content = jnp.asarray(rng.random((1, 4 * slab, 64, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    plain = SlabCascade(pyramid, stages=stages, slab_rows=slab)
+    packed = SlabCascade(pyramid, stages=stages, slab_rows=slab, packed=True)
+    out_p = plain.stylize(content, style, 0.8)
+    out_k = packed.stylize(content, style, 0.8)
+    # cascade-level: f32 stat reassociation differences get amplified by the
+    # eigendecomposition on random toy covariances; component exactness is
+    # pinned at 1e-5 in test_packed.py.
+    diff = np.abs(np.asarray(out_k) - np.asarray(out_p))
+    assert diff.mean() < 5e-3, diff.mean()
+    assert diff.max() < 0.1, diff.max()
