@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="spatially tile over N devices (0 = single device)")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     ap.add_argument("--weights_root", type=str, default="")
+    ap.add_argument("--slab_rows", type=int, default=0,
+                    help="stream in row slabs of N rows (single-chip UHD)")
+    ap.add_argument("--packed", action="store_true",
+                    help="width-packed lane-dense conv pipeline")
+    ap.add_argument("--profile", type=str, default="",
+                    help="write a jax.profiler trace to this dir")
     return ap
 
 
@@ -57,6 +63,7 @@ def main(argv=None) -> int:
     from ..data.pipeline import PairGridDataset
     from ..utils.image import save_image
     from ..utils.logging import LogPrinter, Throughput
+    from ..utils.profiling import trace
     from ..wct.engine import WCTEngine
 
     os.makedirs(args.outf, exist_ok=True)
@@ -77,9 +84,11 @@ def main(argv=None) -> int:
     engine = WCTEngine(
         mode=args.mode, weights_root=args.weights_root or None,
         method=args.method, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        space=args.space)
+        space=args.space, slab_rows=args.slab_rows, packed=args.packed)
     tp = Throughput()
     total_t = 0.0
+    profile_ctx = trace(args.profile)
+    profile_ctx.__enter__()
     for i in range(len(dataset)):
         content, style, name = dataset[i]
         log("*" * 30 + f' #{i}: Transferring "{name}"')
@@ -96,6 +105,7 @@ def main(argv=None) -> int:
         total_t += dt
         tp.tick(content.shape[0] * content.shape[1])
         log(f"Elapsed time is: {dt:.4f} seconds")
+    profile_ctx.__exit__(None, None, None)
     if len(dataset):
         log(f"Processed {len(dataset)} images. Average processing time per pair: "
             f"{total_t / len(dataset):.4f} seconds ({tp.report()})")
