@@ -103,3 +103,27 @@ def test_transform_preserves_shape_and_dtype(rng):
     s_mean, s_cov = feature_stats(x)
     out = wct_transform(x, s_mean, s_cov, 1.0)
     assert out.shape == x.shape and out.dtype == x.dtype
+
+
+def test_gram_matrix_matches_torch(rng):
+    import torch
+    from collaborative_distillation_tpu.ops.style_stats import gram_matrix
+
+    x = rng.standard_normal((2, 6, 5, 8)).astype(np.float32)
+    ours = np.asarray(gram_matrix(jnp.asarray(x)))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    feat = xt.reshape(2, 8, -1)
+    ref = (feat @ feat.transpose(1, 2) / (8 * 6 * 5)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_adain_transfers_channel_stats(rng):
+    from collaborative_distillation_tpu.ops.style_stats import adain, calc_mean_std
+
+    c = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32) * 3 + 1)
+    s = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32) * 0.5 - 2)
+    out = adain(c, s)
+    o_mean, o_std = calc_mean_std(out)
+    s_mean, s_std = calc_mean_std(s)
+    np.testing.assert_allclose(np.asarray(o_mean), np.asarray(s_mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_std), np.asarray(s_std), rtol=1e-3)
