@@ -203,21 +203,21 @@ class SlabCascade:
                     feats, f_ = apply_encoder_packed(p, s, spec)
                     return packed_feature_stats(feats, f_, spec.out_channels)
                 self._style_fns[k] = jax.jit(fp)
-                return self._style_fns[k](self.packed_params[k]["enc"], style)
+            else:
+                def f(p, s):
+                    feats = apply_encoder(p, s, spec)["out"]
+                    c = feats.shape[-1]
+                    x = feats.reshape(-1, c).astype(jnp.float32)
+                    mean = jnp.mean(x, axis=0)
+                    xc = x - mean
+                    cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
+                                          precision=_HIGH,
+                                          preferred_element_type=jnp.float32) / (x.shape[0] - 1)
+                    return mean, cov
 
-            def f(p, s):
-                feats = apply_encoder(p, s, spec)["out"]
-                c = feats.shape[-1]
-                x = feats.reshape(-1, c).astype(jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                xc = x - mean
-                cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
-                                      precision=_HIGH,
-                                      preferred_element_type=jnp.float32) / (x.shape[0] - 1)
-                return mean, cov
-
-            self._style_fns[k] = jax.jit(f)
-        return self._style_fns[k](self.pyramid[k]["enc"], style)
+                self._style_fns[k] = jax.jit(f)
+        enc = self.packed_params[k]["enc"] if self.packed else self.pyramid[k]["enc"]
+        return self._style_fns[k](enc, style)
 
     # ---- driver ----
 

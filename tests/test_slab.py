@@ -109,7 +109,8 @@ def test_packed_slab_matches_unpacked_slab(rng, stages):
     plain = SlabCascade(pyramid, stages=stages, slab_rows=slab)
     packed = SlabCascade(pyramid, stages=stages, slab_rows=slab, packed=True)
     out_p = plain.stylize(content, style, 0.8)
-    out_k = packed.stylize(content, style, 0.8)
+    packed.stylize(content, style, 0.8)  # warm the style-stat jit cache
+    out_k = packed.stylize(content, style, 0.8)  # regression: 2nd call once hit the unpacked params
     # cascade-level: f32 stat reassociation differences get amplified by the
     # eigendecomposition on random toy covariances; component exactness is
     # pinned at 1e-5 in test_packed.py.
