@@ -168,8 +168,9 @@ class WCTEngine:
         sty, _ = _pad_to_multiple(sty, mult)
         alpha = jnp.asarray(alpha, jnp.float32)
         if self.slab is not None:
-            for _ in range(num_run):
-                img = self.slab.stylize(img, sty, alpha)
+            for i in range(num_run):
+                stream = as_uint8 and i == num_run - 1
+                img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)
         elif self._tiled_fn is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sharding = NamedSharding(self.mesh, P(None, "space", None, None))
@@ -184,7 +185,9 @@ class WCTEngine:
                     img = self._stage_fn(k)(self.params[k]["enc"], self.params[k]["dec"],
                                             img, s_mean, s_cov, alpha)
         img = img[:, : orig_hw[0], : orig_hw[1], :]
-        if as_uint8:
+        if isinstance(img, np.ndarray):  # already streamed back as uint8
+            out = img
+        elif as_uint8:
             out = np.asarray(self._float_to_u8(img))
         else:
             out = np.asarray(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))

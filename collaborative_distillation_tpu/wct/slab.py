@@ -246,9 +246,15 @@ class SlabCascade:
             else:
                 yield i * slab - m, slab + 2 * m, m
 
-    def stylize(self, content: jax.Array, style: jax.Array, alpha=1.0) -> jax.Array:
+    def stylize(self, content: jax.Array, style: jax.Array, alpha=1.0,
+                *, to_host_uint8: bool = False):
         """content (1, H, W, 3); style (1, Hs, Ws, 3) small enough to encode
-        whole. H is padded to slab granularity internally."""
+        whole. H is padded to slab granularity internally.
+
+        ``to_host_uint8``: stream the *final* stage's slabs back to the host
+        as uint8 while the next slab computes — overlaps the (slow) d2h link
+        with device work; returns a numpy (1, H, W, 3) uint8 array.
+        """
         n, h, w, _ = content.shape
         assert n == 1, "slab path is per-image"
         slab = self.slab_rows
@@ -288,6 +294,24 @@ class SlabCascade:
                 c_cov, s_cov)
             # pass 2: transform + decode slab interiors
             apply = self._apply_fn(k)
+            last_stage = k == self.stages[-1]
+            if last_stage and to_host_uint8:
+                if "u8" not in self._apply_fns:
+                    self._apply_fns["u8"] = jax.jit(
+                        lambda x: (jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
+                                   * 255.0 + 0.5).astype(jnp.uint8))
+                u8 = self._apply_fns["u8"]
+                host: list[np.ndarray] = []
+                pending = None
+                for start, rows, off in self._slabs(hp):
+                    cur = u8(apply(enc_in, dec_in,
+                                   lax.dynamic_slice_in_dim(img, start, rows, axis=1),
+                                   jnp.int32(off), t, c_mean, s_mean, alpha))
+                    if pending is not None:
+                        host.append(np.asarray(pending))  # overlaps cur's compute
+                    pending = cur
+                host.append(np.asarray(pending))
+                return np.concatenate(host, axis=1)[:, :h]
             outs = []
             for start, rows, off in self._slabs(hp):
                 outs.append(apply(enc_in, dec_in,

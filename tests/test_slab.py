@@ -117,3 +117,16 @@ def test_packed_slab_matches_unpacked_slab(rng, stages):
     diff = np.abs(np.asarray(out_k) - np.asarray(out_p))
     assert diff.mean() < 5e-3, diff.mean()
     assert diff.max() < 0.1, diff.max()
+
+
+def test_slab_streamed_uint8_matches_device_path(rng):
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    cascade = SlabCascade(pyramid, stages=stages, slab_rows=32)
+    content = jnp.asarray(rng.random((1, 128, 32, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    dev = np.asarray(cascade.stylize(content, style, 1.0))
+    dev_u8 = (np.clip(dev, 0, 1) * 255 + 0.5).astype(np.uint8)
+    streamed = cascade.stylize(content, style, 1.0, to_host_uint8=True)
+    assert streamed.dtype == np.uint8 and streamed.shape == dev_u8.shape
+    assert (np.abs(streamed.astype(int) - dev_u8.astype(int)) <= 1).all()
