@@ -319,3 +319,90 @@ class SlabCascade:
                                   jnp.int32(off), t, c_mean, s_mean, alpha))
             img = jnp.concatenate(outs, axis=1)
         return img[:, :h]
+
+
+def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
+                             method: str = "eigh", newton_iters: int = 24,
+                             eps: float = 1e-8, packed: bool = False):
+    """One compiled program for the whole slab cascade.
+
+    The per-slab python loops of :class:`SlabCascade` become ``lax.scan``s
+    *inside* a single jit: pass 1 scans slabs accumulating (sum, gram), pass 2
+    scans slabs writing decoded interiors into the output image via
+    ``dynamic_update_slice``. One dispatch and one compile unit for the whole
+    5-level pyramid instead of ~50 program launches — matters when every
+    launch is an RPC (remote TPU) and compile time is tunnel-bound.
+
+    Returns ``(fn, params)`` where ``fn(params, img, style, alpha) -> img``
+    expects H == a multiple of slab_rows (>= 2*margin) and W a multiple of 16
+    (and of 8 when packed).
+    """
+    helper = SlabCascade(pyramid, stages=stages, slab_rows=slab_rows,
+                         method=method, newton_iters=newton_iters, eps=eps,
+                         packed=packed)
+    slab, m = helper.slab_rows, helper.margin
+    params = helper.packed_params if packed else {
+        k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
+
+    def fn(p, img, style, alpha):
+        h = img.shape[1]
+        n_slabs = h // slab
+        starts = jnp.asarray([s for s, _, _ in helper._slabs(h)], jnp.int32)
+        offs = jnp.asarray([o for _, _, o in helper._slabs(h)], jnp.int32)
+        rows = slab + (2 * m if n_slabs > 1 else 0)
+        for k in stages:
+            spec_e = pyramid[k]["enc_spec"]
+            spec_d = pyramid[k]["dec_spec"]
+            down = 2 ** (k - 1)
+            c = spec_e.out_channels
+            # style statistics (style is small; encoded whole)
+            if packed:
+                feats, f_ = apply_encoder_packed(p[k]["enc"], style, spec_e)
+                s_mean, s_cov = packed_feature_stats(feats, f_, c)
+            else:
+                feats = apply_encoder(p[k]["enc"], style, spec_e)["out"]
+                x2 = feats.reshape(-1, c).astype(jnp.float32)
+                s_mean = jnp.mean(x2, axis=0)
+                xc = x2 - s_mean
+                s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
+                                        precision=_HIGH,
+                                        preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+
+            interior_f = slab // down
+
+            def stat_body(carry, i, _img=img, _spec=spec_e, _pk=p[k]["enc"],
+                          _down=down, _interior=interior_f, _c=c):
+                s1, s2, cnt = carry
+                sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
+                if packed:
+                    a, b, n_px = _slab_stats_packed(_pk, sl, offs[i] // _down,
+                                                    spec=_spec, interior_f=_interior, c=_c)
+                else:
+                    a, b = _slab_stats(_pk, sl, offs[i] // _down,
+                                       spec=_spec, interior_f=_interior)
+                    n_px = _interior * (sl.shape[2] // _down)
+                return (s1 + a, s2 + b, cnt + n_px), None
+
+            init = (jnp.zeros((c,), jnp.float32), jnp.zeros((c, c), jnp.float32),
+                    jnp.zeros((), jnp.float32) if packed else 0.0)
+            (s1, s2, cnt), _ = lax.scan(stat_body, init, jnp.arange(n_slabs))
+            count = cnt if packed else jnp.asarray(
+                n_slabs * interior_f * (img.shape[2] // down), jnp.float32)
+            c_mean = s1 / count
+            c_cov = (s2 - count * jnp.outer(c_mean, c_mean)) / (count - 1)
+            t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
+                                newton_iters=newton_iters)
+
+            def apply_body(out_img, i, _img=img, _ek=p[k]["enc"], _dk=p[k]["dec"],
+                           _se=spec_e, _sd=spec_d, _t=t, _cm=c_mean, _sm=s_mean):
+                sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
+                fn_apply = _slab_apply_packed if packed else _slab_apply
+                dec = fn_apply(_ek, _dk, sl, offs[i], _t, _cm, _sm, alpha,
+                               enc_spec=_se, dec_spec=_sd, interior=slab)
+                return lax.dynamic_update_slice(
+                    out_img, dec.astype(out_img.dtype), (0, i * slab, 0, 0)), None
+
+            img, _ = lax.scan(apply_body, jnp.zeros_like(img), jnp.arange(n_slabs))
+        return img
+
+    return jax.jit(fn), params

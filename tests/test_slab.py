@@ -130,3 +130,20 @@ def test_slab_streamed_uint8_matches_device_path(rng):
     streamed = cascade.stylize(content, style, 1.0, to_host_uint8=True)
     assert streamed.dtype == np.uint8 and streamed.shape == dev_u8.shape
     assert (np.abs(streamed.astype(int) - dev_u8.astype(int)) <= 1).all()
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_fused_cascade_matches_slab_cascade(rng, packed):
+    from collaborative_distillation_tpu.wct.slab import build_fused_slab_cascade
+
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    slab = 32
+    content = jnp.asarray(rng.random((1, 128, 32, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    ref = SlabCascade(pyramid, stages=stages, slab_rows=slab,
+                      packed=packed).stylize(content, style, 0.9)
+    fn, params = build_fused_slab_cascade(pyramid, stages=stages, slab_rows=slab,
+                                          packed=packed)
+    out = fn(params, content, style, 0.9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
