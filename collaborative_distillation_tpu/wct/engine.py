@@ -91,7 +91,7 @@ class WCTEngine:
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
-                 slab_rows: int = 0, packed: bool = False):
+                 slab_rows: int = 0, packed: bool = False, fused: bool = True):
         self.mode = mode
         self.method = method
         self.newton_iters = newton_iters
@@ -105,11 +105,16 @@ class WCTEngine:
         # spatial tiling over a 'space' mesh axis (UHD path)
         # shingled slab streaming for single-chip ultra-resolution inputs
         self.slab = None
+        self._fused_slab = None
         if slab_rows:
-            from .slab import SlabCascade
+            from .slab import SlabCascade, build_fused_slab_cascade
             self.slab = SlabCascade(self.pyramid, stages=self.stages,
                                     slab_rows=slab_rows, method=method,
                                     newton_iters=newton_iters, packed=packed)
+            if fused:
+                self._fused_slab = build_fused_slab_cascade(
+                    self.pyramid, stages=self.stages, slab_rows=slab_rows,
+                    method=method, newton_iters=newton_iters, packed=packed)
         self.space = space if space and space > 1 else 0
         self._tiled_fn = None
         if self.space:
@@ -167,7 +172,17 @@ class WCTEngine:
         img, orig_hw = _pad_to_multiple(img, mult)
         sty, _ = _pad_to_multiple(sty, mult)
         alpha = jnp.asarray(alpha, jnp.float32)
-        if self.slab is not None:
+        if self._fused_slab is not None:
+            fn, fparams = self._fused_slab
+            # pad H to slab granularity (one program shape per padded H)
+            slab = self.slab.slab_rows
+            hp = -(-img.shape[1] // slab) * slab
+            if hp != img.shape[1]:
+                img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
+                              mode="reflect")
+            for _ in range(num_run):
+                img = fn(fparams, img, sty, alpha)
+        elif self.slab is not None:
             for i in range(num_run):
                 stream = as_uint8 and i == num_run - 1
                 img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)

@@ -68,3 +68,18 @@ def test_engine_batch_input(weights_root, rng):
     eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(1,))
     out = eng.stylize(c, s)
     assert out.shape == c.shape
+
+
+def test_engine_slab_fused_path(weights_root, rng):
+    """Engine slab path (fused single-program cascade) end to end."""
+    eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
+                    slab_rows=32, fused=True)
+    c = rng.random((100, 48, 3), dtype=np.float32)
+    s = rng.random((64, 48, 3), dtype=np.float32)
+    out = eng.stylize(c, s)
+    assert out.shape == c.shape and np.isfinite(out).all()
+    # matches the non-fused slab path
+    eng2 = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
+                     slab_rows=32, fused=False)
+    out2 = eng2.stylize(c, s)
+    np.testing.assert_allclose(out, out2, atol=2e-3)
