@@ -91,7 +91,7 @@ class WCTEngine:
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
-                 slab_rows: int = 0, packed: bool = False, fused: bool = True):
+                 slab_rows: int = 0, packed: bool = True, fused: bool = True):
         self.mode = mode
         self.method = method
         self.newton_iters = newton_iters
