@@ -62,11 +62,11 @@ def wct_latency():
         x = jnp.asarray(np.random.default_rng(0).random((1, *hw, c_ch), np.float32))
         s_mean, s_cov = feature_stats(x)
         f = jax.jit(lambda a, m, cv: wct_transform(a, m, cv, 1.0))
-        f(x, s_mean, s_cov).block_until_ready()
+        float(jnp.sum(f(x, s_mean, s_cov)[0, 0, 0]))  # force (block_until_ready lies here)
         t0 = time.time()
         for _ in range(5):
             r = f(x, s_mean, s_cov)
-        r.block_until_ready()
+        float(jnp.sum(r[0, 0, 0]))
         out[f"C={c_ch}"] = (time.time() - t0) / 5 * 1000
     return out
 
