@@ -77,7 +77,7 @@ def main():
     from collaborative_distillation_tpu.wct.engine import WCTEngine
 
     results = {}
-    eng = WCTEngine(mode="16x", slab_rows=1024, packed=True, fused=True)
+    eng = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True)
     cu, su = load_pair(UHD_W, UHD_H)
 
     # end-to-end (uint8 across the link, conversion on device)
