@@ -1,0 +1,108 @@
+"""ctypes binding for the native C++ image codec (native/imgcodec.cpp).
+
+Builds the shared object on first use (g++ + libjpeg, both baked into the
+image) and caches it next to the source. Falls back to PIL transparently if
+the toolchain or libjpeg is unavailable, so the pipeline never hard-depends
+on it. The C calls release the GIL, so the Loader's decode thread pool gets
+real CPU parallelism, and shorter-side resizes ride libjpeg's DCT-domain
+1/2,1/4,1/8 scaling instead of decoding at full resolution.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side"]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "imgcodec.cpp")
+_SO = os.path.join(_REPO, "native", "libimgcodec.so")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _load():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-shared", "-o", _SO, _SRC, "-ljpeg"],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_SO)
+            lib.cd_jpeg_dims.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.cd_jpeg_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.cd_resize_rgb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            _lib = lib
+        except Exception:
+            _failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray | None:
+    """JPEG bytes -> (H, W, 3) uint8, optionally DCT-scaled by 1/scale_denom.
+    Returns None if the native path is unavailable or decode fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.cd_jpeg_dims(data, len(data), scale_denom,
+                        ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.cd_jpeg_decode(data, len(data), scale_denom,
+                          out.ctypes.data_as(ctypes.c_void_p),
+                          w.value, h.value) != 0:
+        return None
+    return out
+
+
+def decode_jpeg_shorter_side(data: bytes, shorter_side: int) -> np.ndarray | None:
+    """Decode + resize so min(H, W) == shorter_side, using the coarsest DCT
+    scale that still over-resolves the target, then a box-filter resize."""
+    lib = _load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.cd_jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    short = min(w.value, h.value)
+    denom = 1
+    while denom < 8 and short // (denom * 2) >= shorter_side:
+        denom *= 2
+    arr = decode_jpeg(data, denom)
+    if arr is None:
+        return None
+    sh, sw = arr.shape[:2]
+    if sw < sh:
+        dw, dh = shorter_side, max(1, round(sh * shorter_side / sw))
+    else:
+        dh, dw = shorter_side, max(1, round(sw * shorter_side / sh))
+    if (dw, dh) == (sw, sh):
+        return arr
+    dst = np.empty((dh, dw, 3), np.uint8)
+    if lib.cd_resize_rgb(arr.ctypes.data_as(ctypes.c_void_p), sw, sh,
+                         dst.ctypes.data_as(ctypes.c_void_p), dw, dh) != 0:
+        return None
+    return dst

@@ -32,6 +32,8 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 IMG_EXTENSIONS = (".png", ".jpg", ".jpeg")
 
+from . import native_codec  # noqa: E402  (C++ libjpeg fast path; PIL fallback)
+
 __all__ = [
     "is_img",
     "load_image",
@@ -97,13 +99,24 @@ class ImageFolderDataset:
         return len(self.paths)
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, str]:
-        img = load_image(self.paths[idx])
-        if self.shorter_side:
-            img = resize_shorter_side(img, self.shorter_side)
-        arr = _random_crop(_to_float(img), self.crop, self.rng)
+        path = self.paths[idx]
+        arr = None
+        if self.shorter_side and path.lower().endswith((".jpg", ".jpeg")):
+            # native decode with DCT-domain downscale; releases the GIL so the
+            # Loader's worker threads decode in parallel
+            with open(path, "rb") as fh:
+                raw = native_codec.decode_jpeg_shorter_side(fh.read(), self.shorter_side)
+            if raw is not None:
+                arr = raw.astype(np.float32) / 255.0
+        if arr is None:
+            img = load_image(path)
+            if self.shorter_side:
+                img = resize_shorter_side(img, self.shorter_side)
+            arr = _to_float(img)
+        arr = _random_crop(arr, self.crop, self.rng)
         if self.rng.random() < 0.5:
             arr = arr[:, ::-1].copy()
-        return arr, self.paths[idx]
+        return arr, path
 
 
 class NpyFolderDataset:

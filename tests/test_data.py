@@ -106,3 +106,43 @@ def test_loader_shuffles_between_epochs(img_dir):
     p2 = [p for _, paths in loader for p in paths]
     assert sorted(p1) == sorted(p2)
     assert p1 != p2  # a reshuffle happened (4! = 24 orders; collision unlikely)
+
+
+def test_native_codec_matches_pil(tmp_path):
+    from collaborative_distillation_tpu.data import native_codec
+
+    if not native_codec.available():
+        pytest.skip("native codec toolchain unavailable")
+    rng = np.random.default_rng(0)
+    arr = (rng.random((240, 320, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+    data = p.read_bytes()
+    ours = native_codec.decode_jpeg(data)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    assert ours.shape == ref.shape
+    # same libjpeg underneath; tiny differences possible from fancy upsampling
+    assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 2.0
+
+
+def test_native_shorter_side_decode(tmp_path):
+    from collaborative_distillation_tpu.data import native_codec
+
+    if not native_codec.available():
+        pytest.skip("native codec toolchain unavailable")
+    rng = np.random.default_rng(1)
+    arr = (rng.random((600, 900, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "big.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+    out = native_codec.decode_jpeg_shorter_side(p.read_bytes(), 120)
+    assert out is not None
+    assert min(out.shape[:2]) == 120
+    assert out.shape[1] / out.shape[0] == pytest.approx(1.5, rel=0.02)
+
+
+def test_dataset_uses_native_path(img_dir):
+    """ImageFolderDataset must produce valid crops through the native path."""
+    ds = ImageFolderDataset(img_dir, shorter_side=200, crop=128)
+    arr, _ = ds[0]
+    assert arr.shape == (128, 128, 3)
+    assert 0.0 <= arr.min() and arr.max() <= 1.0 and arr.std() > 0.05
