@@ -177,6 +177,21 @@ class WCTEngine:
             # pad H to slab granularity (one program shape per padded H)
             slab = self.slab.slab_rows
             hp = -(-img.shape[1] // slab) * slab
+            if hp - img.shape[1] > slab // 4:
+                # awkward height: rebuild with an evenly-dividing slab size
+                from .slab import SlabCascade, build_fused_slab_cascade
+                better = SlabCascade.pick_slab_rows(
+                    img.shape[1], slab, self.slab.margin, self.slab.down_max)
+                if better != slab:
+                    key = ("fused", better)
+                    if key not in self._stage_fns:
+                        self._stage_fns[key] = build_fused_slab_cascade(
+                            self.pyramid, stages=self.stages, slab_rows=better,
+                            method=self.method, newton_iters=self.newton_iters,
+                            packed=self.slab.packed)
+                    fn, fparams = self._stage_fns[key]
+                    slab = better
+                    hp = -(-img.shape[1] // slab) * slab
             if hp != img.shape[1]:
                 img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
                               mode="reflect")

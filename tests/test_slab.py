@@ -147,3 +147,13 @@ def test_fused_cascade_matches_slab_cascade(rng, packed):
                                           packed=packed)
     out = fn(params, content, style, 0.9)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_pick_slab_rows_divides_evenly():
+    # 2160-row image, target 1024, margin 144, gran 16 -> minimal pad waste
+    s = SlabCascade.pick_slab_rows(2160, 1024, 144, 16)
+    assert s >= 288 and s % 16 == 0
+    assert (-2160) % s <= (-2160) % 1024
+    assert (-2160) % s <= 96  # close to even division
+    # multiple-of-1024 heights keep the big slab
+    assert SlabCascade.pick_slab_rows(4096, 1024, 144, 16) == 1024
