@@ -84,7 +84,7 @@ def apply_encoder(
         if layer.pool_after:
             n_pool += 1
             if with_pool_argmax:
-                outs[f"pool{n_pool}_hw"] = jnp.asarray(x.shape[1:3])
+                outs[f"pool{n_pool}_hw"] = tuple(x.shape[1:3])  # static metadata
                 x, idx = max_pool_2x2_with_argmax(x)
                 outs[f"pool{n_pool}_idx"] = idx
             else:
@@ -153,6 +153,6 @@ def apply_decoder_pwct(
         if layer.unpool_after:
             idx = pool_idx[f"pool{p_no}_idx"]
             hw = pool_idx[f"pool{p_no}_hw"]
-            x = max_unpool_2x2(x, idx, (int(hw[0]), int(hw[1])))
+            x = max_unpool_2x2(x, idx, (int(hw[0]), int(hw[1])))  # hw is a static tuple
             p_no -= 1
     return x

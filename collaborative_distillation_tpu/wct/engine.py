@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.vgg import apply_decoder, apply_encoder
+from ..models.vgg import apply_decoder, apply_decoder_pwct, apply_encoder
 from ..models.zoo import load_pyramid
 from ..ops.wct_transform import feature_stats, wct_transform
 
@@ -52,6 +52,17 @@ def stylize_stage(enc_params, dec_params, enc_spec, dec_spec, img, s_mean, s_cov
     csf = wct_transform(cf, s_mean, s_cov, alpha, method=method,
                         newton_iters=newton_iters)
     return apply_decoder(dec_params, csf, dec_spec)["out"]
+
+
+def stylize_stage_pwct(enc_params, dec_params, enc_spec, dec_spec, img, s_mean,
+                       s_cov, alpha, method: str, newton_iters: int = 24):
+    """Photo-WCT variant: max-pool argmax indices from the encoder drive
+    max-unpooling in the decoder (structure-preserving; the reference's
+    forward_pwct paths, model_cd.py:443-449/621-635)."""
+    feats = apply_encoder(enc_params, img, enc_spec, with_pool_argmax=True)
+    csf = wct_transform(feats["out"], s_mean, s_cov, alpha, method=method,
+                        newton_iters=newton_iters)
+    return apply_decoder_pwct(dec_params, csf, dec_spec, feats)
 
 
 def stylize_cascade_fn(pyramid, *, stages=(5, 4, 3, 2, 1), method="eigh",
@@ -127,15 +138,17 @@ class WCTEngine:
 
     # -- jitted building blocks (cached per stage; XLA caches per shape) --
 
-    def _stage_fn(self, k):
-        if k not in self._stage_fns:
+    def _stage_fn(self, k, pwct: bool = False):
+        key = (k, pwct)
+        if key not in self._stage_fns:
             enc_spec = self.pyramid[k]["enc_spec"]
             dec_spec = self.pyramid[k]["dec_spec"]
-            f = partial(stylize_stage, enc_spec=enc_spec, dec_spec=dec_spec,
+            base = stylize_stage_pwct if pwct else stylize_stage
+            f = partial(base, enc_spec=enc_spec, dec_spec=dec_spec,
                         method=self.method, newton_iters=self.newton_iters)
-            self._stage_fns[k] = jax.jit(
+            self._stage_fns[key] = jax.jit(
                 lambda ep, dp, img, sm, sc, a, _f=f: _f(ep, dp, img=img, s_mean=sm, s_cov=sc, alpha=a))
-        return self._stage_fns[k]
+        return self._stage_fns[key]
 
     def _style_stats(self, k, style: jax.Array, cache_key=None):
         key = (k, cache_key, style.shape) if cache_key is not None else None
@@ -151,7 +164,8 @@ class WCTEngine:
         return stats
 
     def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
-                *, num_run: int = 1, style_key=None, as_uint8: bool = False) -> np.ndarray:
+                *, num_run: int = 1, style_key=None, as_uint8: bool = False,
+                pwct: bool = False) -> np.ndarray:
         """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3),
         float in [0, 1] or uint8 in [0, 255]; returns the same rank, clipped.
 
@@ -212,8 +226,8 @@ class WCTEngine:
             for _ in range(num_run):
                 for k in self.stages:
                     s_mean, s_cov = self._style_stats(k, sty, cache_key=style_key)
-                    img = self._stage_fn(k)(self.params[k]["enc"], self.params[k]["dec"],
-                                            img, s_mean, s_cov, alpha)
+                    img = self._stage_fn(k, pwct)(self.params[k]["enc"], self.params[k]["dec"],
+                                                  img, s_mean, s_cov, alpha)
         img = img[:, : orig_hw[0], : orig_hw[1], :]
         if isinstance(img, np.ndarray):  # already streamed back as uint8
             out = img

@@ -87,3 +87,15 @@ def test_engine_slab_fused_path(weights_root, rng):
     c2 = rng.random((100, 48, 3), dtype=np.float32)
     out3 = eng.stylize(c2, s)
     assert out3.shape == c2.shape and np.isfinite(out3).all()
+
+
+def test_engine_pwct_path(weights_root, rng):
+    """Photo-WCT (argmax unpooling, no final relu) runs end to end and
+    differs from the standard nearest-upsample decode."""
+    eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1))
+    c = rng.random((64, 64, 3), dtype=np.float32)
+    s = rng.random((64, 64, 3), dtype=np.float32)
+    out_std = eng.stylize(c, s)
+    out_pwct = eng.stylize(c, s, pwct=True)
+    assert out_pwct.shape == c.shape and np.isfinite(out_pwct).all()
+    assert not np.allclose(out_pwct, out_std)
