@@ -191,3 +191,123 @@ def build_tiled_stylize_fn(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
        
     )
     return jax.jit(sharded)
+
+
+# ---- width-packed spatial path: halo exchange operates on rows, packing on
+#      columns, so they compose directly ----
+
+def packed_conv3x3_halo(x, w_packed, b_packed, f: int, axis_name: str,
+                        *, relu: bool = True):
+    """Packed-space reflect-pad conv with H halos from mesh neighbours."""
+    from ..ops.packed import _reflect_pad_w_packed
+    from ..ops.conv import conv2d
+
+    top, bot = halo_exchange_rows(x, axis_name)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    x = _reflect_pad_w_packed(x, f)
+    y = conv2d(x, w_packed.astype(x.dtype), b_packed)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+def apply_encoder_spatial_packed(packed_params, x, spec, axis_name: str):
+    """Row-sharded + width-packed encoder: returns (packed feature, f)."""
+    from ..models.packed_vgg import plan_packing
+    from ..ops.conv import conv1x1
+    from ..ops.packed import pack_width, packed_max_pool_2x2, repack
+
+    assert spec.kind == "encoder"
+    plan = plan_packing(spec)
+    f = plan[0][1]
+    x = pack_width(x, f)
+    if spec.has_conv0:
+        p = packed_params["conv0"]
+        x = conv1x1(x, p["w"], p["b"])
+    for (name, f_in, f_out), layer in zip(plan, spec.layers):
+        p = packed_params[name]
+        x = packed_conv3x3_halo(x, p["w"], p["b"], f_in, axis_name, relu=layer.relu)
+        if f_out != f_in:
+            x = repack(x, f_in, f_out)
+        f = f_out
+        if layer.pool_after:
+            x = packed_max_pool_2x2(x, f)
+    return x, f
+
+
+def apply_decoder_spatial_packed(packed_params, x, f_in: int, spec, axis_name: str):
+    """Row-sharded + width-packed decoder -> unpacked image rows."""
+    from ..models.packed_vgg import plan_packing
+    from ..ops.packed import packed_upsample_nearest_2x, repack, unpack_width
+
+    assert spec.kind == "decoder"
+    plan = plan_packing(spec)
+    assert plan[0][1] == f_in
+    f = f_in
+    for (name, fi, fo), layer in zip(plan, spec.layers):
+        p = packed_params[name]
+        x = packed_conv3x3_halo(x, p["w"], p["b"], fi, axis_name, relu=layer.relu)
+        if fo != fi:
+            x = repack(x, fi, fo)
+        f = fo
+        if layer.unpool_after:
+            x = packed_upsample_nearest_2x(x, f)
+    return unpack_width(x, f)
+
+
+def build_tiled_stylize_fn_packed(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
+                                  method: str = "eigh", newton_iters: int = 24,
+                                  eps: float = 1e-8):
+    """Width-packed variant of :func:`build_tiled_stylize_fn`: the multi-chip
+    UHD path with lane-dense tensors. Statistics use the packed phase-diagonal
+    gram decomposition, psum'd over the mesh."""
+    from ..models.packed_vgg import pack_stage_params
+
+    n_space = mesh.shape["space"]
+    packed = {
+        k: {"enc": pack_stage_params(pyramid[k]["enc"], pyramid[k]["enc_spec"]),
+            "dec": pack_stage_params(pyramid[k]["dec"], pyramid[k]["dec_spec"])}
+        for k in stages}
+    specs = {k: (pyramid[k]["enc_spec"], pyramid[k]["dec_spec"]) for k in stages}
+
+    def _stats(xp, f, c, axis_name):
+        x2 = xp.reshape(-1, xp.shape[-1]).astype(jnp.float32)
+        s1 = lax.psum(jnp.sum(x2, axis=0).reshape(f, c).sum(axis=0), axis_name)
+        gram = lax.dot_general(x2, x2, (((0,), (0,)), ((), ())),
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+        if f > 1:
+            gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c),
+                              precision=lax.Precision.HIGHEST)
+        gram = lax.psum(gram, axis_name)
+        n = lax.psum(jnp.float32(x2.shape[0] * f), axis_name)
+        mean = s1 / n
+        cov = (gram - n * jnp.outer(mean, mean)) / (n - 1)
+        return mean, cov
+
+    def per_shard(params, content, style, alpha):
+        from ..models.packed_vgg import packed_wct_apply
+
+        img = content
+        for k in stages:
+            enc_spec, dec_spec = specs[k]
+            c = enc_spec.out_channels
+            s_out, fs = apply_encoder_spatial_packed(params[k]["enc"], style,
+                                                     enc_spec, "space")
+            s_mean, s_cov = _stats(s_out, fs, c, "space")
+            c_out, fc = apply_encoder_spatial_packed(params[k]["enc"], img,
+                                                     enc_spec, "space")
+            c_mean, c_cov = _stats(c_out, fc, c, "space")
+            t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
+                                newton_iters=newton_iters)
+            csf = packed_wct_apply(c_out, fc, c, t, c_mean, s_mean, alpha)
+            img = apply_decoder_spatial_packed(params[k]["dec"], csf, fc,
+                                               dec_spec, "space")
+        return img
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(None, "space", None, None), P(None, "space", None, None), P()),
+        out_specs=P(None, "space", None, None),
+    )
+    return jax.jit(sharded), packed

@@ -138,3 +138,20 @@ def test_psum_stats_match_global(rng, mesh):
     s_mean, s_cov = f(x)
     np.testing.assert_allclose(np.asarray(s_mean), np.asarray(g_mean), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_cov), np.asarray(g_cov), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_tiled_close_to_unpacked_tiled(rng, mesh):
+    """Width-packed multi-chip cascade == unpacked multi-chip cascade."""
+    from collaborative_distillation_tpu.parallel.spatial import build_tiled_stylize_fn_packed
+    from test_spatial import _toy_pyramid as _tp
+
+    stages = (2, 1)
+    pyramid = _toy_pyramid(stages)
+    params = {s: {"enc": pyramid[s]["enc"], "dec": pyramid[s]["dec"]} for s in stages}
+    content = jnp.asarray(rng.random((1, 128, 64, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 128, 64, 3), dtype=np.float32))
+    ref = build_tiled_stylize_fn(pyramid, mesh, stages=stages)(params, content, style, 0.8)
+    fn, packed = build_tiled_stylize_fn_packed(pyramid, mesh, stages=stages)
+    out = fn(packed, content, style, 0.8)
+    diff = np.abs(np.asarray(out) - np.asarray(ref))
+    assert diff.mean() < 5e-3 and diff.max() < 0.1, (diff.mean(), diff.max())
