@@ -136,6 +136,10 @@ def main(argv=None) -> int:
 
     dataset = ImageFolderDataset(args.content_train, args.shorter_side)
     loader = Loader(dataset, args.batch_size)
+    if len(loader) == 0:
+        raise SystemExit(
+            f"dataset has {len(dataset)} images < batch_size {args.batch_size}: "
+            f"no full batch can be formed (reduce --batch_size)")
     log(f"dataset: {len(dataset)} images, {len(loader)} steps/epoch, "
         f"mesh: {'DP x %d' % n_dev if mesh else 'single device'}")
 
