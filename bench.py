@@ -95,6 +95,20 @@ def main():
     results["uhd_e2e_mpix_s"] = round(mpix / best_e2e, 2)
     log(f"UHD end-to-end: {best_e2e:.2f}s = {mpix / best_e2e:.2f} MPix/s")
 
+    # 2K config (BASELINE.md secondary config), same engine
+    c2, s2 = load_pair(2048, 1024, 1024, 1024)
+    t0 = time.time()
+    eng.stylize(c2, s2, style_key="bench2k", as_uint8=True)
+    log(f"2K compile+first: {time.time() - t0:.1f}s")
+    best2 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        eng.stylize(c2, s2, style_key="bench2k", as_uint8=True)
+        best2 = min(best2, time.time() - t0)
+    results["2k_e2e_s"] = round(best2, 3)
+    results["2k_e2e_mpix_s"] = round(2048 * 1024 / 1e6 / best2, 2)
+    log(f"2K end-to-end: {best2:.3f}s = {results['2k_e2e_mpix_s']} MPix/s")
+
     # on-device cascade (the hardware-limited number)
     cd = eng._u8_to_float(jnp.asarray(cu[None]))
     sd = eng._u8_to_float(jnp.asarray(su[None]))
