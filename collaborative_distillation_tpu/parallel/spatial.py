@@ -43,6 +43,10 @@ __all__ = [
     "feature_stats_psum",
     "wct_transform_spatial",
     "build_tiled_stylize_fn",
+    "build_tiled_stylize_fn_packed",
+    "apply_encoder_spatial_packed",
+    "apply_decoder_spatial_packed",
+    "packed_conv3x3_halo",
 ]
 
 

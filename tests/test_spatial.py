@@ -143,7 +143,6 @@ def test_psum_stats_match_global(rng, mesh):
 def test_packed_tiled_close_to_unpacked_tiled(rng, mesh):
     """Width-packed multi-chip cascade == unpacked multi-chip cascade."""
     from collaborative_distillation_tpu.parallel.spatial import build_tiled_stylize_fn_packed
-    from test_spatial import _toy_pyramid as _tp
 
     stages = (2, 1)
     pyramid = _toy_pyramid(stages)
