@@ -344,7 +344,8 @@ class SlabCascade:
 
 def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
                              method: str = "eigh", newton_iters: int = 24,
-                             eps: float = 1e-8, packed: bool = False):
+                             eps: float = 1e-8, packed: bool = False,
+                             feature_cache_bytes: int = 2_000_000_000):
     """One compiled program for the whole slab cascade.
 
     The per-slab python loops of :class:`SlabCascade` become ``lax.scan``s
@@ -353,6 +354,11 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     ``dynamic_update_slice``. One dispatch and one compile unit for the whole
     5-level pyramid instead of ~50 program launches — matters when every
     launch is an RPC (remote TPU) and compile time is tunnel-bound.
+
+    Stages whose full per-image encoder features fit in ``feature_cache_bytes``
+    carry them out of the stats scan as stacked scan outputs, so pass 2 skips
+    the re-encode (measured ~0.8 s of the 2.8 s UHD cascade); the huge
+    stage-1/2 features of a 42 MPix image stay recompute-only.
 
     Returns ``(fn, params)`` where ``fn(params, img, style, alpha) -> img``
     expects H == a multiple of slab_rows (>= 2*margin) and W a multiple of 16
@@ -364,6 +370,42 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     slab, m = helper.slab_rows, helper.margin
     params = helper.packed_params if packed else {
         k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
+
+    def _encode(pk, sl, spec):
+        """(features, packing factor) for one extended slab."""
+        if packed:
+            return apply_encoder_packed(pk, sl, spec)
+        return apply_encoder(pk, sl, spec)["out"], 1
+
+    def _stats_from(feats, f, c, offset_f, interior_f):
+        inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
+        n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
+        x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
+        if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+            from ..ops.pallas.stats import fused_sum_gram
+            s, gram = fused_sum_gram(x)
+        else:
+            s = jnp.sum(x, axis=0)
+            gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
+                                   preferred_element_type=jnp.float32)
+        s1 = s.reshape(f, c).sum(axis=0)
+        if f > 1:
+            gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
+        return s1, gram, n_px
+
+    def _color_decode(feats, f, dk, spec_d, t, c_mean, s_mean, alpha, offset):
+        c = t.shape[0]
+        if packed:
+            csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
+            dec = apply_decoder_packed(dk, csf, f, spec_d)
+        else:
+            shape, dtype = feats.shape, feats.dtype
+            x = feats.reshape(-1, c).astype(jnp.float32)
+            target = _mm(x - c_mean, t.T) + s_mean
+            a = jnp.asarray(alpha, jnp.float32)
+            csf = (a * target + (1.0 - a) * x).reshape(shape).astype(dtype)
+            dec = apply_decoder(dk, csf, spec_d)["out"]
+        return lax.dynamic_slice_in_dim(dec, offset, slab, axis=1)
 
     def fn(p, img, style, alpha):
         h = img.shape[1]
@@ -377,12 +419,11 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
             down = 2 ** (k - 1)
             c = spec_e.out_channels
             # style statistics (style is small; encoded whole)
+            s_feats, sf = _encode(p[k]["enc"], style, spec_e)
             if packed:
-                feats, f_ = apply_encoder_packed(p[k]["enc"], style, spec_e)
-                s_mean, s_cov = packed_feature_stats(feats, f_, c)
+                s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
             else:
-                feats = apply_encoder(p[k]["enc"], style, spec_e)["out"]
-                x2 = feats.reshape(-1, c).astype(jnp.float32)
+                x2 = s_feats.reshape(-1, c).astype(jnp.float32)
                 s_mean = jnp.mean(x2, axis=0)
                 xc = x2 - s_mean
                 s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
@@ -390,40 +431,46 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                                         preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
 
             interior_f = slab // down
+            # decide feature caching from the stacked-feature byte size
+            # (probe one slab's feature shape cheaply via eval_shape)
+            probe = jax.eval_shape(
+                lambda s_, _pk=p[k]["enc"]: _encode(_pk, s_, spec_e)[0],
+                jax.ShapeDtypeStruct((1, rows, img.shape[2], 3), img.dtype))
+            feat_bytes = n_slabs * int(np.prod(probe.shape)) * 4
+            cache = feat_bytes <= feature_cache_bytes
 
-            def stat_body(carry, i, _img=img, _spec=spec_e, _pk=p[k]["enc"],
-                          _down=down, _interior=interior_f, _c=c):
+            def stat_body(carry, i, _img=img, _pk=p[k]["enc"], _down=down,
+                          _interior=interior_f, _c=c, _cache=cache):
                 s1, s2, cnt = carry
                 sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
-                if packed:
-                    a, b, n_px = _slab_stats_packed(_pk, sl, offs[i] // _down,
-                                                    spec=_spec, interior_f=_interior, c=_c)
-                else:
-                    a, b = _slab_stats(_pk, sl, offs[i] // _down,
-                                       spec=_spec, interior_f=_interior)
-                    n_px = _interior * (sl.shape[2] // _down)
-                return (s1 + a, s2 + b, cnt + n_px), None
+                feats, f = _encode(_pk, sl, spec_e)
+                a, b, n_px = _stats_from(feats, f, _c, offs[i] // _down, _interior)
+                out = feats if _cache else None
+                return (s1 + a, s2 + b, cnt + jnp.float32(n_px)), out
 
             init = (jnp.zeros((c,), jnp.float32), jnp.zeros((c, c), jnp.float32),
-                    jnp.zeros((), jnp.float32) if packed else 0.0)
-            (s1, s2, cnt), _ = lax.scan(stat_body, init, jnp.arange(n_slabs))
-            count = cnt if packed else jnp.asarray(
-                n_slabs * interior_f * (img.shape[2] // down), jnp.float32)
-            c_mean = s1 / count
-            c_cov = (s2 - count * jnp.outer(c_mean, c_mean)) / (count - 1)
+                    jnp.zeros((), jnp.float32))
+            (s1, s2, cnt), cached = lax.scan(stat_body, init, jnp.arange(n_slabs))
+            c_mean = s1 / cnt
+            c_cov = (s2 - cnt * jnp.outer(c_mean, c_mean)) / (cnt - 1)
             t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
                                 newton_iters=newton_iters)
 
-            def apply_body(out_img, i, _img=img, _ek=p[k]["enc"], _dk=p[k]["dec"],
-                           _se=spec_e, _sd=spec_d, _t=t, _cm=c_mean, _sm=s_mean):
-                sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
-                fn_apply = _slab_apply_packed if packed else _slab_apply
-                dec = fn_apply(_ek, _dk, sl, offs[i], _t, _cm, _sm, alpha,
-                               enc_spec=_se, dec_spec=_sd, interior=slab)
+            def apply_body(out_img, xs, _img=img, _ek=p[k]["enc"], _dk=p[k]["dec"],
+                           _t=t, _cm=c_mean, _sm=s_mean, _cache=cache, _down=down):
+                if _cache:
+                    i, feats = xs
+                    f = plan_packing(spec_e)[-1][2] if packed else 1
+                else:
+                    i = xs
+                    sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
+                    feats, f = _encode(_ek, sl, spec_e)
+                dec = _color_decode(feats, f, _dk, spec_d, _t, _cm, _sm, alpha, offs[i])
                 return lax.dynamic_update_slice(
                     out_img, dec.astype(out_img.dtype), (0, i * slab, 0, 0)), None
 
-            img, _ = lax.scan(apply_body, jnp.zeros_like(img), jnp.arange(n_slabs))
+            xs = (jnp.arange(n_slabs), cached) if cache else jnp.arange(n_slabs)
+            img, _ = lax.scan(apply_body, jnp.zeros_like(img), xs)
         return img
 
     return jax.jit(fn), params
