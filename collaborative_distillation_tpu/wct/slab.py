@@ -345,7 +345,7 @@ class SlabCascade:
 def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
                              method: str = "eigh", newton_iters: int = 24,
                              eps: float = 1e-8, packed: bool = False,
-                             feature_cache_bytes: int = 2_000_000_000):
+                             feature_cache_bytes: int = 5_000_000_000):
     """One compiled program for the whole slab cascade.
 
     The per-slab python loops of :class:`SlabCascade` become ``lax.scan``s
