@@ -157,3 +157,22 @@ def test_pick_slab_rows_divides_evenly():
     assert (-2160) % s <= 96  # close to even division
     # multiple-of-1024 heights keep the big slab
     assert SlabCascade.pick_slab_rows(4096, 1024, 144, 16) == 1024
+
+
+@pytest.mark.parametrize("cache_bytes", [0, 10**12])
+def test_fused_cascade_cache_on_off_equivalent(rng, cache_bytes):
+    """Feature-cached apply pass == recompute apply pass."""
+    from collaborative_distillation_tpu.wct.slab import build_fused_slab_cascade
+
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    content = jnp.asarray(rng.random((1, 128, 32, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    fn0, p0 = build_fused_slab_cascade(pyramid, stages=stages, slab_rows=32,
+                                       packed=True, feature_cache_bytes=cache_bytes)
+    out = fn0(p0, content, style, 0.9)
+    ref_fn, ref_p = build_fused_slab_cascade(pyramid, stages=stages, slab_rows=32,
+                                             packed=True,
+                                             feature_cache_bytes=5_000_000_000)
+    ref = ref_fn(ref_p, content, style, 0.9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
