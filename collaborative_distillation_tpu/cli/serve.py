@@ -1,0 +1,137 @@
+"""Stylization server: HTTP endpoint over a warm WCT engine.
+
+Production-shaped serving runtime around the compute path (the reference has
+no serving story at all — batch CLI only):
+
+    python -m collaborative_distillation_tpu.cli.serve --mode 16x --port 8700
+
+    POST /stylize?alpha=0.8&style=<name>   body: JPEG/PNG content image
+    POST /style/<name>                     body: JPEG/PNG style image (registers
+                                           + precomputes per-stage statistics)
+    GET  /healthz                          liveness + engine config
+    GET  /styles                           registered style names
+
+Responses are JPEG. Requests serialize through a single engine lock (one
+accelerator); decode/encode happen outside the lock. Per-style statistics are
+cached inside the engine, so steady-state cost per request is one content
+cascade.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def build_app(engine, log):
+    from PIL import Image
+
+    styles: dict[str, np.ndarray] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            log(f"{self.address_string()} {fmt % args}")
+
+        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode())
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"ok": True, "mode": engine.mode,
+                                 "method": engine.method,
+                                 "stages": list(engine.stages)})
+            elif path == "/styles":
+                self._json(200, {"styles": sorted(styles)})
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                if url.path.startswith("/style/"):
+                    name = url.path[len("/style/"):]
+                    if not name:
+                        return self._json(400, {"error": "style name required"})
+                    img = Image.open(io.BytesIO(self._read_body())).convert("RGB")
+                    arr = np.asarray(img, np.uint8)
+                    with lock:
+                        styles[name] = arr
+                        # warm the per-stage statistics now (engine caches them)
+                        probe = np.zeros((32, 32, 3), np.uint8)
+                        engine.stylize(probe, arr, style_key=name)
+                    return self._json(200, {"registered": name,
+                                            "size": list(arr.shape[:2])})
+                if url.path == "/stylize":
+                    q = parse_qs(url.query)
+                    alpha = float(q.get("alpha", ["1.0"])[0])
+                    name = q.get("style", [None])[0]
+                    if name is None or name not in styles:
+                        return self._json(400, {
+                            "error": f"unknown style {name!r}; register via POST /style/<name>",
+                            "styles": sorted(styles)})
+                    content = np.asarray(
+                        Image.open(io.BytesIO(self._read_body())).convert("RGB"),
+                        np.uint8)
+                    with lock:
+                        out = engine.stylize(content, styles[name], alpha=alpha,
+                                             style_key=name, as_uint8=True)
+                    buf = io.BytesIO()
+                    Image.fromarray(out).save(buf, format="JPEG", quality=95)
+                    return self._send(200, buf.getvalue(), "image/jpeg")
+                return self._json(404, {"error": f"unknown path {url.path}"})
+            except Exception as e:  # noqa: BLE001 — turn into a 500, keep serving
+                log(f"request failed: {type(e).__name__}: {e}")
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", default="16x",
+                    choices=["original", "16x", "16x_kd2sd", "16x_base"])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8700)
+    ap.add_argument("--method", default="eigh", choices=["eigh", "newton"])
+    ap.add_argument("--slab_rows", type=int, default=0,
+                    help="enable slab streaming for large inputs")
+    ap.add_argument("--weights_root", default="")
+    args = ap.parse_args(argv)
+
+    from ..utils.logging import LogPrinter
+    from ..wct.engine import WCTEngine
+
+    log = LogPrinter(None, "serve", to_screen=True)
+    engine = WCTEngine(mode=args.mode, weights_root=args.weights_root or None,
+                       method=args.method, slab_rows=args.slab_rows)
+    server = ThreadingHTTPServer((args.host, args.port), build_app(engine, log))
+    log(f"serving mode={args.mode} on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        log("shutting down")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

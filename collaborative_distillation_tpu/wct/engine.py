@@ -102,13 +102,15 @@ class WCTEngine:
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
-                 slab_rows: int = 0, packed: bool = True, fused: bool = True):
+                 slab_rows: int = 0, packed: bool = True, fused: bool = True,
+                 pyramid=None):
         self.mode = mode
         self.method = method
         self.newton_iters = newton_iters
         self.dtype = dtype
         self.stages = tuple(stages)
-        self.pyramid = load_pyramid(mode, weights_root, stages=self.stages, dtype=dtype)
+        self.pyramid = pyramid if pyramid is not None else load_pyramid(
+            mode, weights_root, stages=self.stages, dtype=dtype)
         self.params = {k: {"enc": v["enc"], "dec": v["dec"]} for k, v in self.pyramid.items()}
         self._stage_fns: dict[int, callable] = {}
         self._style_stats_fns: dict[int, callable] = {}

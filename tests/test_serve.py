@@ -1,0 +1,86 @@
+"""Serving endpoint: register a style, stylize a content image over HTTP."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from collaborative_distillation_tpu.cli.serve import build_app
+from collaborative_distillation_tpu.models import decoder_spec, encoder_spec, init_params
+
+
+def _toy_engine():
+    """Engine over random stage-(1,) params — fast enough for HTTP tests."""
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, jax.random.key(0)),
+                   "dec": init_params(dspec, jax.random.key(1))}}
+    return WCTEngine(mode="toy", stages=(1,), pyramid=pyramid)
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+
+    handler = build_app(_toy_engine(), lambda m: None)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _jpeg_bytes(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read(), resp.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_health_and_flow(server, rng):
+    with urllib.request.urlopen(server + "/healthz") as resp:
+        health = json.loads(resp.read())
+    assert health["ok"] and health["stages"] == [1]
+
+    style = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    code, body, _ = _post(server + "/style/vangogh", _jpeg_bytes(style))
+    assert code == 200 and json.loads(body)["registered"] == "vangogh"
+
+    content = (rng.random((48, 80, 3)) * 255).astype(np.uint8)
+    code, body, ctype = _post(server + "/stylize?style=vangogh&alpha=0.7",
+                              _jpeg_bytes(content))
+    assert code == 200 and ctype == "image/jpeg"
+    out = np.asarray(Image.open(io.BytesIO(body)))
+    assert out.shape == content.shape
+
+
+def test_unknown_style_is_400(server, rng):
+    content = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    code, body, _ = _post(server + "/stylize?style=nope", _jpeg_bytes(content))
+    assert code == 400
+    assert "unknown style" in json.loads(body)["error"]
+
+
+def test_garbage_body_is_500_not_crash(server):
+    code, body, _ = _post(server + "/stylize?style=vangogh", b"not an image")
+    assert code == 500
+    # server still alive
+    with urllib.request.urlopen(server + "/healthz") as resp:
+        assert json.loads(resp.read())["ok"]
