@@ -71,6 +71,21 @@ def wct_latency():
     return out
 
 
+def _main_guarded():
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        log(f"bench failed: {type(e).__name__}: {e}")
+        print(json.dumps({
+            "metric": "UHD 10240x4096 5-level WCT stylization (bench failed)",
+            "value": 0.0,
+            "unit": "MPix/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(e).__name__}: {str(e)[:500]}"},
+        }))
+        return 1
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -143,4 +158,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(_main_guarded())

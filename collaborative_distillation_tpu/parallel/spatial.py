@@ -23,7 +23,6 @@ CPU mesh (tests) and a v5e slice.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -25,10 +25,12 @@ reference's global-edge semantics; contamination from the arithmetically
 wrong reflection at interior slab-array edges dies within the receptive
 radius and is cropped.
 
-Two compiled programs per pyramid level, reused across all slabs. With
-``packed=True`` the slab programs run the width-packed lane-dense pipeline
-(models/packed_vgg.py) — same math, ~F x less HBM traffic on the skinny
-stages.
+:class:`SlabCascade` compiles two programs per pyramid level (reused across
+slabs); :func:`build_fused_slab_cascade` compiles the WHOLE cascade into one
+program (scan over slabs) and is the production path — see docs/DESIGN.md for
+the measured difference. ``packed=True`` runs the width-packed lane-dense
+pipeline (models/packed_vgg.py) — same math, ~F x less HBM traffic on the
+skinny stages.
 """
 
 from __future__ import annotations
@@ -50,10 +52,9 @@ from ..models.packed_vgg import (
     packed_wct_apply,
     plan_packing,
 )
-from ..ops.packed import pack_width
 from ..ops.wct_transform import _mm, coloring_matrix
 
-__all__ = ["receptive_radius", "SlabCascade"]
+__all__ = ["receptive_radius", "SlabCascade", "build_fused_slab_cascade"]
 
 _HIGH = lax.Precision.HIGHEST
 
