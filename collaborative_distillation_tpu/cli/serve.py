@@ -76,6 +76,8 @@ def build_app(engine, log):
                     arr = np.asarray(img, np.uint8)
                     with lock:
                         styles[name] = arr
+                        if hasattr(engine, "invalidate_style"):
+                            engine.invalidate_style(name)  # re-registration
                         # warm the per-stage statistics now (engine caches them)
                         probe = np.zeros((32, 32, 3), np.uint8)
                         engine.stylize(probe, arr, style_key=name)

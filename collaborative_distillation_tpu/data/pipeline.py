@@ -83,6 +83,21 @@ def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
     return arr[i: i + size, j: j + size]
 
 
+class _SafeRng:
+    """Thread-safe random stream: spawns an independent child generator per
+    draw (numpy Generators are NOT thread-safe; the Loader calls datasets from
+    a thread pool). Deterministic given the seed and draw order."""
+
+    def __init__(self, seed: int):
+        self._seq = np.random.SeedSequence(seed)
+        self._lock = threading.Lock()
+
+    def child(self) -> np.random.Generator:
+        with self._lock:
+            (child,) = self._seq.spawn(1)
+        return np.random.default_rng(child)
+
+
 class ImageFolderDataset:
     """Training content images: resize shorter side, random 256-crop, hflip."""
 
@@ -93,7 +108,7 @@ class ImageFolderDataset:
             raise FileNotFoundError(f"no images in {img_dir}")
         self.shorter_side = shorter_side
         self.crop = crop
-        self.rng = np.random.default_rng(seed)
+        self._rng = _SafeRng(seed)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -113,8 +128,9 @@ class ImageFolderDataset:
             if self.shorter_side:
                 img = resize_shorter_side(img, self.shorter_side)
             arr = _to_float(img)
-        arr = _random_crop(arr, self.crop, self.rng)
-        if self.rng.random() < 0.5:
+        rng = self._rng.child()
+        arr = _random_crop(arr, self.crop, rng)
+        if rng.random() < 0.5:
             arr = arr[:, ::-1].copy()
         return arr, path
 
@@ -128,7 +144,7 @@ class NpyFolderDataset:
         if not self.paths:
             raise FileNotFoundError(f"no .npy files in {img_dir}")
         self.crop = crop
-        self.rng = np.random.default_rng(seed)
+        self._rng = _SafeRng(seed)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -137,8 +153,9 @@ class NpyFolderDataset:
         arr = np.load(self.paths[idx])
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 255.0
-        arr = _random_crop(arr.astype(np.float32), self.crop, self.rng)
-        if self.rng.random() < 0.5:
+        rng = self._rng.child()
+        arr = _random_crop(arr.astype(np.float32), self.crop, rng)
+        if rng.random() < 0.5:
             arr = arr[:, ::-1].copy()
         return arr, self.paths[idx]
 
@@ -264,6 +281,16 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Put with stop-responsive timeout; False means the consumer left."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idxs in self._batches():
@@ -278,10 +305,12 @@ class Loader:
                                 cols.append(np.stack(col))
                             else:
                                 cols.append(list(col))
-                        q.put(tuple(cols))
+                        batch = tuple(cols)
                     else:
-                        q.put(np.stack(items))
-                q.put(None)
+                        batch = np.stack(items)
+                    if not _put(batch):
+                        return
+                _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -70,10 +70,11 @@ def plan_packing(spec: StageSpec) -> list[tuple[str, int, int]]:
         f = _f_for(spec.layers[0].in_ch)
     for layer in spec.layers:
         f_in = f
+        # repack after the conv to the largest f with f*C_out <= 128; this
+        # goes down as encoder channels grow and back up as decoder channels
+        # shrink (repack is a reshape either way, and keeps every persistent
+        # tensor lane-dense)
         f_out = _f_for(layer.out_ch)
-        # never repack upward mid-stream beyond the input f (pool/upsample
-        # preserve f; growing f again would relayout for no bandwidth gain)
-        f_out = min(f_out, MAX_PACK)
         plan.append((layer.name, f_in, f_out))
         f = f_out
     return plan

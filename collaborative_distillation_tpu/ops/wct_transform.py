@@ -132,6 +132,21 @@ def coloring_matrix(
     return _mm(s_sqrt, c_isqrt)
 
 
+def _wct_single(content_feat, style_mean, style_cov, alpha, *, method, eps,
+                newton_iters):
+    shape, dtype = content_feat.shape, content_feat.dtype
+    c = shape[-1]
+    x = content_feat.reshape(-1, c).astype(jnp.float32)
+    c_mean, c_cov = feature_stats(x)
+    t = coloring_matrix(c_cov, style_cov.astype(jnp.float32), method=method,
+                        eps=eps, newton_iters=newton_iters)
+    # target = T @ (x - c_mean) + s_mean, applied row-wise: (P,C) @ T^T
+    target = _mm(x - c_mean, t.T) + style_mean.astype(jnp.float32)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    out = alpha * target + (1.0 - alpha) * x
+    return out.reshape(shape).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("method", "newton_iters"))
 def wct_transform(
     content_feat: jax.Array,
@@ -150,18 +165,22 @@ def wct_transform(
     alpha-blend with the original content feature. ``content_feat`` is
     (..., C); returns the same shape/dtype.
 
+    A rank-4 (N, H, W, C) input with N > 1 is treated as a *batch of
+    independent images*: per-image content statistics (the reference computes
+    per-image stats; pooling across a batch would whiten each image with the
+    others' statistics). Style stats may be shared ((C,), (C,C)) or per-image
+    ((N,C), (N,C,C)).
+
     Taking (style_mean, style_cov) instead of raw style features lets the
     cascade reuse per-style statistics across stages/runs — the reference
     re-encodes and re-decomposes the style image at every stage (WCT.py:99-101).
     """
-    shape, dtype = content_feat.shape, content_feat.dtype
-    c = shape[-1]
-    x = content_feat.reshape(-1, c).astype(jnp.float32)
-    c_mean, c_cov = feature_stats(x)
-    t = coloring_matrix(c_cov, style_cov.astype(jnp.float32), method=method,
-                        eps=eps, newton_iters=newton_iters)
-    # target = T @ (x - c_mean) + s_mean, applied row-wise: (P,C) @ T^T
-    target = _mm(x - c_mean, t.T) + style_mean.astype(jnp.float32)
-    alpha = jnp.asarray(alpha, jnp.float32)
-    out = alpha * target + (1.0 - alpha) * x
-    return out.reshape(shape).astype(dtype)
+    kw = dict(method=method, eps=eps, newton_iters=newton_iters)
+    if content_feat.ndim == 4 and content_feat.shape[0] > 1:
+        s_axis = 0 if style_mean.ndim == 2 else None
+        return jax.vmap(
+            lambda cf, sm, sc: _wct_single(cf, sm, sc, alpha, **kw),
+            in_axes=(0, s_axis, s_axis))(content_feat, style_mean, style_cov)
+    if style_mean.ndim == 2:  # per-image style stats with a single image
+        style_mean, style_cov = style_mean[0], style_cov[0]
+    return _wct_single(content_feat, style_mean, style_cov, alpha, **kw)

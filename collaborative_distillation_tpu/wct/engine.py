@@ -40,9 +40,14 @@ def _pad_to_multiple(x: jax.Array, multiple: int = 16) -> tuple[jax.Array, tuple
 
 
 def stage_style_stats(enc_params, enc_spec, style: jax.Array):
-    """Per-stage (mean, cov) of the style image's relu{k}_1 features."""
-    feats = apply_encoder(enc_params, style, enc_spec)
-    return feature_stats(feats["out"])
+    """Per-stage (mean, cov) of the style image's relu{k}_1 features.
+
+    Batched styles (N > 1) get per-image statistics ((N,C), (N,C,C)) so each
+    batch element pairs with its own style."""
+    feats = apply_encoder(enc_params, style, enc_spec)["out"]
+    if feats.shape[0] > 1:
+        return jax.vmap(feature_stats)(feats)
+    return feature_stats(feats)
 
 
 def stylize_stage(enc_params, dec_params, enc_spec, dec_spec, img, s_mean, s_cov,
@@ -152,6 +157,12 @@ class WCTEngine:
                 lambda ep, dp, img, sm, sc, a, _f=f: _f(ep, dp, img=img, s_mean=sm, s_cov=sc, alpha=a))
         return self._stage_fns[key]
 
+    def invalidate_style(self, style_key) -> None:
+        """Drop cached statistics for a style key (call when re-registering a
+        different image under the same name)."""
+        for key in [key for key in self._style_cache if key[1] == style_key]:
+            del self._style_cache[key]
+
     def _style_stats(self, k, style: jax.Array, cache_key=None):
         key = (k, cache_key, style.shape) if cache_key is not None else None
         if key is not None and key in self._style_cache:
@@ -175,6 +186,11 @@ class WCTEngine:
         the host<->device link, which matters at UHD scale (the device cascade
         is ~3 s for 42 MPix; an f32 image is 0.5 GB of transfer).
         """
+        if pwct and (self.slab is not None or self._tiled_fn is not None
+                     or self._fused_slab is not None):
+            raise ValueError(
+                "pwct=True is only supported on the plain per-stage path; "
+                "construct the engine without slab_rows/space for photo-WCT")
         squeeze = content.ndim == 3
         if squeeze:
             content = content[None]

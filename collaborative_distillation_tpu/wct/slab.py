@@ -193,6 +193,13 @@ class SlabCascade:
     # ---- jitted per-stage programs (shape-cached by XLA; two shapes per
     #      stage: edge slabs carry one margin, mid slabs two) ----
 
+    def _coloring_fn(self):
+        if "color" not in self._apply_fns:
+            self._apply_fns["color"] = jax.jit(partial(
+                coloring_matrix, method=self.method, eps=self.eps,
+                newton_iters=self.newton_iters))
+        return self._apply_fns["color"]
+
     def _stats_fn(self, k):
         if k not in self._stats_fns:
             spec = self.pyramid[k]["enc_spec"]
@@ -311,9 +318,7 @@ class SlabCascade:
                 count = n_slabs * (slab // down) * (img.shape[2] // down)
             c_mean = s1 / count
             c_cov = (s2 - count * jnp.outer(c_mean, c_mean)) / (count - 1)
-            t = jax.jit(partial(coloring_matrix, method=self.method,
-                                eps=self.eps, newton_iters=self.newton_iters))(
-                c_cov, s_cov)
+            t = self._coloring_fn()(c_cov, s_cov)
             # pass 2: transform + decode slab interiors
             apply = self._apply_fn(k)
             last_stage = k == self.stages[-1]

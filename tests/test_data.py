@@ -146,3 +146,26 @@ def test_dataset_uses_native_path(img_dir):
     arr, _ = ds[0]
     assert arr.shape == (128, 128, 3)
     assert 0.0 <= arr.min() and arr.max() <= 1.0 and arr.std() > 0.05
+
+
+def test_loader_early_break_does_not_deadlock(img_dir):
+    """Breaking out of iteration mid-epoch must release the producer thread."""
+    import threading
+    ds = ImageFolderDataset(img_dir, shorter_side=200, crop=64)
+    before = threading.active_count()
+    for _ in range(3):
+        for batch, _paths in Loader(ds, batch_size=1, prefetch=1, num_workers=2):
+            break  # consumer leaves immediately with a full queue
+    import time
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 1
+
+
+def test_dataset_rng_thread_safety(img_dir):
+    """Parallel __getitem__ draws must stay valid (no corrupted generator)."""
+    from concurrent.futures import ThreadPoolExecutor
+    ds = ImageFolderDataset(img_dir, shorter_side=200, crop=64)
+    with ThreadPoolExecutor(8) as pool:
+        outs = list(pool.map(lambda i: ds[i % len(ds)][0], range(64)))
+    for arr in outs:
+        assert arr.shape == (64, 64, 3) and np.isfinite(arr).all()

@@ -127,3 +127,34 @@ def test_adain_transfers_channel_stats(rng):
     s_mean, s_std = calc_mean_std(s)
     np.testing.assert_allclose(np.asarray(o_mean), np.asarray(s_mean), atol=1e-4)
     np.testing.assert_allclose(np.asarray(o_std), np.asarray(s_std), rtol=1e-3)
+
+
+def test_batched_transform_is_per_image(rng):
+    """N>1 inputs get per-image content statistics (the reference computes
+    per-image stats; pooling across the batch is wrong)."""
+    c = 16
+    a = _rand_feat(rng, 256, c).reshape(1, 16, 16, c)
+    b = (_rand_feat(rng, 256, c) * 3 + 5).reshape(1, 16, 16, c)
+    batch = np.concatenate([a, b], axis=0)
+    s = _rand_feat(rng, 400, c)
+    s_mean, s_cov = feature_stats(jnp.asarray(s))
+    both = np.asarray(wct_transform(jnp.asarray(batch), s_mean, s_cov, 1.0))
+    solo_a = np.asarray(wct_transform(jnp.asarray(a), s_mean, s_cov, 1.0))
+    solo_b = np.asarray(wct_transform(jnp.asarray(b), s_mean, s_cov, 1.0))
+    np.testing.assert_allclose(both[0], solo_a[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(both[1], solo_b[0], rtol=1e-4, atol=1e-4)
+
+
+def test_batched_styles_pair_elementwise(rng):
+    """(N,C)/(N,C,C) style stats pair element i with content i."""
+    c = 8
+    content = jnp.asarray(np.stack([
+        _rand_feat(rng, 64, c).reshape(8, 8, c) for _ in range(2)]))
+    s1 = _rand_feat(rng, 300, c)
+    s2 = _rand_feat(rng, 300, c, scale=3.0)
+    m1, c1 = feature_stats(jnp.asarray(s1))
+    m2, c2 = feature_stats(jnp.asarray(s2))
+    sm = jnp.stack([m1, m2]); sc = jnp.stack([c1, c2])
+    both = np.asarray(wct_transform(content, sm, sc, 1.0))
+    solo0 = np.asarray(wct_transform(content[:1], m1, c1, 1.0))
+    np.testing.assert_allclose(both[0], solo0[0], rtol=1e-4, atol=1e-4)
