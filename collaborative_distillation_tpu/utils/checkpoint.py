@@ -16,7 +16,8 @@ import os
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint",
+           "save_checkpoint_orbax", "load_checkpoint_orbax"]
 
 
 def _flatten(tree, prefix=""):
@@ -45,6 +46,25 @@ def save_checkpoint(path: str, tree) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
+
+
+def save_checkpoint_orbax(path: str, tree) -> None:
+    """Orbax backend: async-capable, sharding-aware — the right choice on
+    multi-host TPU pods (the .npz backend is single-host)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(np.asarray, tree), force=True)
+
+
+def load_checkpoint_orbax(path: str, like):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, like))
 
 
 def load_checkpoint(path: str, like):

@@ -154,3 +154,23 @@ def test_packed_tiled_close_to_unpacked_tiled(rng, mesh):
     out = fn(packed, content, style, 0.8)
     diff = np.abs(np.asarray(out) - np.asarray(ref))
     assert diff.mean() < 5e-3 and diff.max() < 0.1, (diff.mean(), diff.max())
+
+
+def test_stylize_cli_space_flag(weights_root, tmp_path):
+    """The --space CLI path runs on the virtual mesh end to end."""
+    import os
+    from PIL import Image
+    from collaborative_distillation_tpu.cli.stylize import main
+
+    rng = np.random.default_rng(0)
+    cdir, sdir = tmp_path / "c", tmp_path / "s"
+    cdir.mkdir(); sdir.mkdir()
+    Image.fromarray((rng.random((128, 64, 3)) * 255).astype(np.uint8)).save(cdir / "a.jpg")
+    Image.fromarray((rng.random((128, 64, 3)) * 255).astype(np.uint8)).save(sdir / "b.jpg")
+    outf = str(tmp_path / "out")
+    rc = main(["--mode", "16x", "--contentPath", str(cdir), "--stylePath", str(sdir),
+               "--outf", outf, "--debug", "--weights_root", weights_root,
+               "--space", "4"])
+    assert rc == 0
+    outs = [f for f in os.listdir(outf) if f.endswith(".jpg")]
+    assert len(outs) == 1

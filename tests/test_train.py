@@ -180,3 +180,17 @@ def test_prune_decoder_first_layer_input_channels(rng):
     student = prune_to_student(teacher, student_spec)
     for name, (wshape, bshape) in student_spec.param_shapes().items():
         assert student[name]["w"].shape == wshape, name
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from collaborative_distillation_tpu.utils.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+
+    tree = {"params": {"conv": {"w": np.arange(12, dtype=np.float32).reshape(3, 4),
+                                "b": np.ones(4, np.float32)}},
+            "step": np.int32(7)}
+    path = str(tmp_path / "ockpt")
+    save_checkpoint_orbax(path, tree)
+    out = load_checkpoint_orbax(path, tree)
+    np.testing.assert_array_equal(out["params"]["conv"]["w"], tree["params"]["conv"]["w"])
+    assert int(out["step"]) == 7
