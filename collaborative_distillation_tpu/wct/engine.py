@@ -227,8 +227,20 @@ class WCTEngine:
             if hp != img.shape[1]:
                 img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
                               mode="reflect")
-            for _ in range(num_run):
-                img = fn(fparams, img, sty, alpha)
+            try:
+                for _ in range(num_run):
+                    img = fn(fparams, img, sty, alpha)
+            except Exception as e:  # very large programs can fail to compile
+                # (seen with teacher widths at UHD through the remote
+                # compiler); degrade permanently to per-stage slab programs
+                import warnings
+                warnings.warn(
+                    f"fused cascade failed ({type(e).__name__}); falling back "
+                    f"to per-stage slab programs", RuntimeWarning)
+                self._fused_slab = None
+                for i in range(num_run):
+                    stream = as_uint8 and i == num_run - 1
+                    img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)
         elif self.slab is not None:
             for i in range(num_run):
                 stream = as_uint8 and i == num_run - 1
