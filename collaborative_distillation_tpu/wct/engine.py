@@ -107,7 +107,7 @@ class WCTEngine:
     def __init__(self, mode: str = "16x", weights_root: str | None = None, *,
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
-                 slab_rows: int = 0, packed: bool = True, fused: bool = True,
+                 slab_rows: int = 0, packed: bool | None = None, fused: bool = True,
                  pyramid=None):
         self.mode = mode
         self.method = method
@@ -121,6 +121,11 @@ class WCTEngine:
         self._style_stats_fns: dict[int, callable] = {}
         self._style_cache: dict = {}
         # spatial tiling over a 'space' mesh axis (UHD path)
+        if packed is None:
+            # width packing pays on the skinny 16x students; the teacher's
+            # wide packed kernels crash the TPU compiler at large W (observed
+            # with mode='original' at >=5120 px)
+            packed = mode != "original"
         # shingled slab streaming for single-chip ultra-resolution inputs
         self.slab = None
         self._fused_slab = None
