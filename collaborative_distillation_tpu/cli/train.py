@@ -24,7 +24,11 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--content_train", type=str, default="data/COCO/train2014/")
-    ap.add_argument("--style_train", type=str, default="data/WikiArt/train")
+    ap.add_argument("--style_train", type=str, default="data/WikiArt/train",
+                    help="accepted for reference-CLI compatibility; the "
+                         "distillation losses are content-only, so this is "
+                         "unused (matches main.py:95, where the style slot "
+                         "of the batch is the image *path* and never read)")
     ap.add_argument("--pretrained_init", action="store_true",
                     help="init students from the L1-pruned base checkpoints")
     ap.add_argument("--shorter_side", type=int, default=300)

@@ -292,25 +292,30 @@ class Loader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in self._batches():
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    first = items[0]
-                    if isinstance(first, tuple):
-                        cols = []
-                        for j, col in enumerate(zip(*items)):
-                            if isinstance(first[j], np.ndarray):
-                                cols.append(np.stack(col))
-                            else:
-                                cols.append(list(col))
-                        batch = tuple(cols)
-                    else:
-                        batch = np.stack(items)
-                    if not _put(batch):
-                        return
-                _put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in self._batches():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        first = items[0]
+                        if isinstance(first, tuple):
+                            cols = []
+                            for j, col in enumerate(zip(*items)):
+                                if isinstance(first[j], np.ndarray):
+                                    cols.append(np.stack(col))
+                                else:
+                                    cols.append(list(col))
+                            batch = tuple(cols)
+                        else:
+                            batch = np.stack(items)
+                        if not _put(batch):
+                            return
+                    _put(None)
+            except BaseException as e:  # noqa: BLE001 — a dataset error
+                # (corrupt image, OSError, ...) must surface on the consumer
+                # side, not leave it blocked on q.get() forever
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -319,6 +324,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -69,6 +69,49 @@ def stage_specs(mode: str, stage: int) -> tuple[StageSpec, StageSpec]:
     return enc, dec
 
 
+# actionable guidance when a weight store entry is absent, keyed by the
+# store subdirectory. The originals are external downloads in the REFERENCE
+# checkout too (README.md:26/62) — don't let that surface as a bare
+# FileNotFoundError deep in np.load.
+_STORE_HINTS = {
+    "original": (
+        "The teacher autoencoders are external downloads in the reference "
+        "too: get `vgg_normalised_conv{k}_1.t7` (+ `feature_invertor_conv"
+        "{k}_1.t7` or `our_BD/{k}BD_E30S0.pth`) per the reference README, "
+        "put them under <trained_models>/original_wct_models/, then run\n"
+        "  python -m collaborative_distillation_tpu.cli.convert "
+        "--reference <trained_models> --out <weights_root>\n"
+        "For a self-contained smoke teacher (no downloads) run\n"
+        "  python -m collaborative_distillation_tpu.cli.make_teacher "
+        "--out <weights_root>"),
+    "16x": (
+        "Convert the reference's shipped 16x checkpoints with\n"
+        "  python -m collaborative_distillation_tpu.cli.convert "
+        "--reference <trained_models> --out <weights_root>"),
+    "16x_kd2sd": (
+        "The kd2sd decoders are external downloads in the reference too "
+        "(wct_se_16x_new_sd_kd2sd/{k}SD.pth); download, then run\n"
+        "  python -m collaborative_distillation_tpu.cli.convert "
+        "--reference <trained_models> --out <weights_root>\n"
+        "or train them here:\n"
+        "  python -m collaborative_distillation_tpu.cli.train "
+        "--mode wct_sd_kd2sd --stage <k> ..."),
+    "16x_base": (
+        "Generate the L1-pruned student inits with\n"
+        "  python -m collaborative_distillation_tpu.cli.convert ... "
+        "(converts small16x_ae_base) or\n"
+        "  python -m collaborative_distillation_tpu.cli.prune "
+        "--teacher <weights_root>/original/e{k}.npz ..."),
+}
+
+
+def _missing_store_error(path: str) -> FileNotFoundError:
+    family = os.path.basename(os.path.dirname(path))
+    hint = _STORE_HINTS.get(family, _STORE_HINTS["16x"])
+    return FileNotFoundError(
+        f"weight store entry not found: {path}\n{hint}")
+
+
 def load_stage_params(path: str, spec: StageSpec, dtype=jnp.float32):
     """Load one stage's params; validates shapes against the spec.
 
@@ -76,6 +119,8 @@ def load_stage_params(path: str, spec: StageSpec, dtype=jnp.float32):
     are zero-initialized. A missing conv0 falls back to the hardcoded
     preprocessing conv (the t7 teachers before normalization lacked it).
     """
+    if not os.path.exists(path):
+        raise _missing_store_error(path)
     tree = load_tree_npz(path)
     expected = spec.param_shapes()
     params = {}

@@ -1,0 +1,75 @@
+"""Chunked, threaded device->host transfer for slow interconnects.
+
+This container reaches its TPU through a development relay whose
+device-to-host path is ~14 MB/s single-stream but scales ~3.5x with
+concurrent requests (measured 2026-08-16: 13.9 MB/s whole-array vs
+49 MB/s with 128 row-chunks fetched from 32 threads; the host-to-device
+direction does NOT benefit from threading — keep uploads single-stream).
+A 10240x4096 uint8 image is 126 MB, so the difference is ~9 s vs ~2.6 s
+of the UHD end-to-end budget.
+
+The reference never faced this: it keeps images on one local GPU and
+round-trips *features* to the CPU for float64 SVD instead
+(/root/reference/PytorchWCT/WCT.py:102-103).
+
+``fetch`` splits an (N, H, W, C) device array into row chunks (device-side
+slices; one or two slice programs, shape-cached) and `np.asarray`s them from
+a thread pool. Exactness is a plain concatenation — no compression, no
+dtype change.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+__all__ = ["fetch", "DEFAULT_CHUNKS", "DEFAULT_THREADS"]
+
+DEFAULT_CHUNKS = int(os.environ.get("CD_TPU_FETCH_CHUNKS", "64"))
+DEFAULT_THREADS = int(os.environ.get("CD_TPU_FETCH_THREADS", "16"))
+
+# one shared pool: fetches from different calls interleave fine, and a
+# persistent pool avoids per-call thread spawn latency
+_pool: ThreadPoolExecutor | None = None
+
+
+def _get_pool(threads: int) -> ThreadPoolExecutor:
+    global _pool
+    if _pool is None or _pool._max_workers < threads:  # noqa: SLF001
+        _pool = ThreadPoolExecutor(max_workers=threads)
+    return _pool
+
+
+def fetch(x, *, chunks: int = DEFAULT_CHUNKS, threads: int = DEFAULT_THREADS,
+          min_bytes: int = 16 << 20) -> np.ndarray:
+    """Device array -> numpy, using concurrent row-chunk readback.
+
+    ``x``: jax array of rank >= 2; chunking is along the longest axis among
+    the first two. Arrays smaller than ``min_bytes`` (or already on host)
+    take the plain single-stream path.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    nbytes = int(np.prod(x.shape)) * x.dtype.itemsize
+    if nbytes < min_bytes or x.ndim < 2:
+        return np.asarray(x)
+    axis = int(np.argmax([x.shape[0], x.shape[1]]))
+    n = x.shape[axis]
+    k = max(1, min(chunks, n))
+    rows = -(-n // k)
+    bounds = [(i, min(i + rows, n)) for i in range(0, n, rows)]
+    if len(bounds) == 1:
+        return np.asarray(x)
+    # slice on the main thread (async dispatch; one or two shape-cached slice
+    # programs), fetch concurrently from the pool
+    idx = [slice(None)] * x.ndim
+    parts = []
+    for a, b in bounds:
+        sl = list(idx)
+        sl[axis] = slice(a, b)
+        parts.append(x[tuple(sl)])
+    pool = _get_pool(threads)
+    outs = list(pool.map(np.asarray, parts))
+    return np.concatenate(outs, axis=axis)

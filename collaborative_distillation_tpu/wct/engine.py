@@ -26,14 +26,39 @@ import numpy as np
 from ..models.vgg import apply_decoder, apply_decoder_pwct, apply_encoder
 from ..models.zoo import load_pyramid
 from ..ops.wct_transform import feature_stats, wct_transform
+from ..utils.transfer import fetch
 
 __all__ = ["WCTEngine", "stylize_cascade_fn"]
 
+# compiler/runtime failures worth degrading on (NOT programming errors):
+# jaxlib's XlaRuntimeError covers both remote-compile failures and runtime
+# OOM on current jax versions.
+try:  # pragma: no cover - version-dependent import
+    from jax.errors import JaxRuntimeError as _JaxRuntimeError
+    _XLA_ERRORS: tuple = (_JaxRuntimeError,)
+except ImportError:  # pragma: no cover
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError as _XlaRuntimeError
+        _XLA_ERRORS = (_XlaRuntimeError,)
+    except ImportError:
+        _XLA_ERRORS = ()
 
-def _pad_to_multiple(x: jax.Array, multiple: int = 16) -> tuple[jax.Array, tuple[int, int]]:
+# style-statistics cache bound: (stage, key, shape) -> (mean, cov) entries
+# are small (C<=512: <= 1 MB each), but a long-lived server registering
+# styles forever must not grow device memory without bound.
+STYLE_CACHE_MAX = int(__import__("os").environ.get("CD_TPU_STYLE_CACHE", "64"))
+
+
+def _pad_to_multiple(x: jax.Array, mult_h: int = 16,
+                     mult_w: int | None = None) -> tuple[jax.Array, tuple[int, int]]:
+    """Reflect-pad H to a multiple of ``mult_h`` and W to ``mult_w`` (defaults
+    to ``mult_h``). H and W are independent: spatial tiling shards only H, so
+    W never needs the extra `16*space` rows of wasted conv work."""
     n, h, w, c = x.shape
-    ph = (-h) % multiple
-    pw = (-w) % multiple
+    if mult_w is None:
+        mult_w = mult_h
+    ph = (-h) % mult_h
+    pw = (-w) % mult_w
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
     return x, (h, w)
@@ -117,9 +142,10 @@ class WCTEngine:
         self.pyramid = pyramid if pyramid is not None else load_pyramid(
             mode, weights_root, stages=self.stages, dtype=dtype)
         self.params = {k: {"enc": v["enc"], "dec": v["dec"]} for k, v in self.pyramid.items()}
+        from collections import OrderedDict
         self._stage_fns: dict[int, callable] = {}
         self._style_stats_fns: dict[int, callable] = {}
-        self._style_cache: dict = {}
+        self._style_cache: OrderedDict = OrderedDict()  # LRU, STYLE_CACHE_MAX
         # spatial tiling over a 'space' mesh axis (UHD path)
         if packed is None:
             # width packing pays on the skinny 16x students; the teacher's
@@ -171,6 +197,7 @@ class WCTEngine:
     def _style_stats(self, k, style: jax.Array, cache_key=None):
         key = (k, cache_key, style.shape) if cache_key is not None else None
         if key is not None and key in self._style_cache:
+            self._style_cache.move_to_end(key)
             return self._style_cache[key]
         if k not in self._style_stats_fns:
             enc_spec = self.pyramid[k]["enc_spec"]
@@ -179,6 +206,8 @@ class WCTEngine:
         stats = self._style_stats_fns[k](self.params[k]["enc"], style)
         if key is not None:
             self._style_cache[key] = stats
+            while len(self._style_cache) > STYLE_CACHE_MAX:
+                self._style_cache.popitem(last=False)
         return stats
 
     def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
@@ -205,9 +234,9 @@ class WCTEngine:
         sty = jnp.asarray(style)
         img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img).astype(self.dtype)
         sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
-        mult = 16 * self.space if self.space else 16
-        img, orig_hw = _pad_to_multiple(img, mult)
-        sty, _ = _pad_to_multiple(sty, mult)
+        mult_h = 16 * self.space if self.space else 16
+        img, orig_hw = _pad_to_multiple(img, mult_h, 16)
+        sty, _ = _pad_to_multiple(sty, mult_h, 16)
         alpha = jnp.asarray(alpha, jnp.float32)
         if self._fused_slab is not None:
             fn, fparams = self._fused_slab
@@ -232,18 +261,23 @@ class WCTEngine:
             if hp != img.shape[1]:
                 img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
                               mode="reflect")
+            completed = 0
             try:
-                for _ in range(num_run):
+                while completed < num_run:
                     img = fn(fparams, img, sty, alpha)
-            except Exception as e:  # very large programs can fail to compile
-                # (seen with teacher widths at UHD through the remote
-                # compiler); degrade permanently to per-stage slab programs
+                    completed += 1
+            except _XLA_ERRORS as e:
+                # very large fused programs can fail to compile/execute (seen
+                # with teacher widths at UHD through the remote compiler);
+                # degrade to per-stage slab programs for this engine. Only
+                # compiler/runtime errors are caught — a TypeError/ValueError
+                # from a real bug still surfaces.
                 import warnings
                 warnings.warn(
-                    f"fused cascade failed ({type(e).__name__}); falling back "
-                    f"to per-stage slab programs", RuntimeWarning)
+                    f"fused cascade failed ({type(e).__name__}: {e}); falling "
+                    f"back to per-stage slab programs", RuntimeWarning)
                 self._fused_slab = None
-                for i in range(num_run):
+                for i in range(completed, num_run):
                     stream = as_uint8 and i == num_run - 1
                     img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)
         elif self.slab is not None:
@@ -267,9 +301,9 @@ class WCTEngine:
         if isinstance(img, np.ndarray):  # already streamed back as uint8
             out = img
         elif as_uint8:
-            out = np.asarray(self._float_to_u8(img))
+            out = fetch(self._float_to_u8(img))
         else:
-            out = np.asarray(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))
+            out = fetch(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))
         return out[0] if squeeze else out
 
     @staticmethod

@@ -328,6 +328,7 @@ class SlabCascade:
                         lambda x: (jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
                                    * 255.0 + 0.5).astype(jnp.uint8))
                 u8 = self._apply_fns["u8"]
+                from ..utils.transfer import fetch
                 host: list[np.ndarray] = []
                 pending = None
                 for start, rows, off in self._slabs(hp):
@@ -335,9 +336,10 @@ class SlabCascade:
                                    lax.dynamic_slice_in_dim(img, start, rows, axis=1),
                                    jnp.int32(off), t, c_mean, s_mean, alpha))
                     if pending is not None:
-                        host.append(np.asarray(pending))  # overlaps cur's compute
+                        # threaded chunked readback, overlapping cur's compute
+                        host.append(fetch(pending))
                     pending = cur
-                host.append(np.asarray(pending))
+                host.append(fetch(pending))
                 return np.concatenate(host, axis=1)[:, :h]
             outs = []
             for start, rows, off in self._slabs(hp):
