@@ -20,12 +20,19 @@ import sys
 import numpy as np
 
 
-def normalize_encoder(params, spec, batches, *, eps: float = 1e-12):
+def normalize_encoder(params, spec, batches, *, eps: float = 1e-12,
+                      rel_floor: float = 1e-2):
     """Return a new params tree with per-filter mean activation == 1.
 
     ``batches``: iterable of (N, H, W, 3) float arrays. Mean activations are
     taken over the *pre-relu is post-relu here* conv outputs like the
     reference (it averages the ReLU'd blob, normalise_caffe.py:83-106).
+
+    ``rel_floor``: filters whose mean activation is below ``rel_floor`` x the
+    layer's average are floored there before inverting. Real VGG weights
+    never need this, but near-dead relu filters (possible in random/synthetic
+    teachers) would otherwise receive a ~1/eps rescale that explodes on any
+    input the calibration set didn't cover.
     """
     import jax
     import jax.numpy as jnp
@@ -70,7 +77,9 @@ def normalize_encoder(params, spec, batches, *, eps: float = 1e-12):
             means = m if means is None else means + m
             total += b.shape[0]
         mean_act = means / total
-        scale = 1.0 / np.maximum(mean_act, eps)
+        floor = max(eps, rel_floor * float(np.mean(mean_act)))
+        mean_act = np.maximum(mean_act, floor)
+        scale = 1.0 / mean_act
         params[name] = {"w": params[name]["w"] * scale[None, None, None, :],
                         "b": params[name]["b"] * scale}
         prev_scale = mean_act  # next layer's inputs shrink by 1/scale -> multiply back

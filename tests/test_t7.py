@@ -4,98 +4,11 @@ The teacher .t7 checkpoints are external downloads, so the reader is validated
 against a bit-accurate synthetic writer implementing the same wire format.
 """
 
-import struct
-
 import numpy as np
 import pytest
 
 from collaborative_distillation_tpu.utils.t7reader import load_t7, read_t7_conv_layers
-
-
-class _Writer:
-    def __init__(self):
-        self.buf = bytearray()
-        self.next_index = 1
-
-    def i32(self, v):
-        self.buf += struct.pack("<i", v)
-
-    def i64(self, v):
-        self.buf += struct.pack("<q", v)
-
-    def f64(self, v):
-        self.buf += struct.pack("<d", v)
-
-    def string(self, s):
-        b = s.encode()
-        self.i32(len(b))
-        self.buf += b
-
-    def number(self, v):
-        self.i32(1)
-        self.f64(v)
-
-    def table(self, d):
-        self.i32(3)
-        self.i32(self._idx())
-        self.i32(len(d))
-        for k, v in d.items():
-            self._any(k)
-            self._any(v)
-
-    def _idx(self):
-        i = self.next_index
-        self.next_index += 1
-        return i
-
-    def _any(self, v):
-        if v is None:
-            self.i32(0)
-        elif isinstance(v, bool):
-            self.i32(5)
-            self.i32(1 if v else 0)
-        elif isinstance(v, (int, float)):
-            self.number(float(v))
-        elif isinstance(v, str):
-            self.i32(2)
-            self.string(v)
-        elif isinstance(v, dict):
-            self.table(v)
-        elif isinstance(v, np.ndarray):
-            self.tensor(v)
-        elif isinstance(v, tuple) and v[0] == "module":
-            self.module(v[1], v[2])
-        else:
-            raise TypeError(type(v))
-
-    def module(self, cls, attrs):
-        self.i32(4)
-        self.i32(self._idx())
-        self.string("V 1")
-        self.string(cls)
-        self.table(attrs)
-
-    def tensor(self, arr):
-        arr = np.asarray(arr, np.float64)
-        self.i32(4)
-        self.i32(self._idx())
-        self.string("V 1")
-        self.string("torch.DoubleTensor")
-        self.i32(arr.ndim)
-        for s in arr.shape:
-            self.i64(s)
-        strides = [st // arr.itemsize for st in arr.strides]
-        for s in strides:
-            self.i64(s)
-        self.i64(1)  # storageOffset, 1-based
-        # storage object
-        self.i32(4)
-        self.i32(self._idx())
-        self.string("V 1")
-        self.string("torch.DoubleStorage")
-        flat = np.ascontiguousarray(arr).ravel()
-        self.i64(flat.size)
-        self.buf += flat.tobytes()
+from t7_synth import Writer as _Writer
 
 
 @pytest.fixture

@@ -92,7 +92,12 @@ def test_normalize_encoder_unit_mean_activation(rng):
         # have none. All live filters must normalize to 1.
         live = m > 1e-6
         assert live.mean() > 0.5
-        np.testing.assert_allclose(m[live], 1.0, rtol=1e-3)
+        # filters above the relative floor normalize to exactly 1; near-dead
+        # ones are floored (end below 1) instead of receiving an exploding
+        # 1/eps rescale (normalize_vgg.py rel_floor).
+        at_one = np.isclose(m, 1.0, rtol=1e-3)
+        assert at_one.mean() > 0.5
+        assert (m[live] <= 1.0 + 1e-3).all()
 
 
 def test_imgtools(tmp_path):
