@@ -171,8 +171,16 @@ def build_tiled_stylize_fn(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
     n_space = mesh.shape["space"]
     specs = {k: (pyramid[k]["enc_spec"], pyramid[k]["dec_spec"]) for k in stages}
 
+    down_max = 2 ** (max(stages) - 1)
+
     def per_shard(params, content, style, alpha):
         img = content
+        assert img.shape[1] % down_max == 0 and style.shape[1] % down_max == 0, (
+            f"per-shard H {img.shape[1]}/{style.shape[1]} must divide the "
+            f"deepest stage's downsample factor {down_max}; pad the global H "
+            f"to a multiple of {down_max} * n_space (the engine pads to "
+            f"16 * space) so pools/upsamples stay shard-local and the psum'd "
+            f"pixel counts are exact")
         for k in stages:
             enc_spec, dec_spec = specs[k]
             down = 2 ** (k - 1)
@@ -288,10 +296,16 @@ def build_tiled_stylize_fn_packed(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1)
         cov = (gram - n * jnp.outer(mean, mean)) / (n - 1)
         return mean, cov
 
+    down_max = 2 ** (max(stages) - 1)
+
     def per_shard(params, content, style, alpha):
         from ..models.packed_vgg import packed_wct_apply
 
         img = content
+        assert img.shape[1] % down_max == 0 and style.shape[1] % down_max == 0, (
+            f"per-shard H {img.shape[1]}/{style.shape[1]} must divide the "
+            f"deepest stage's downsample factor {down_max} (pad global H to "
+            f"a multiple of {down_max} * n_space)")
         for k in stages:
             enc_spec, dec_spec = specs[k]
             c = enc_spec.out_channels
@@ -314,3 +328,210 @@ def build_tiled_stylize_fn_packed(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1)
         out_specs=P(None, "space", None, None),
     )
     return jax.jit(sharded), packed
+
+
+# ---- fused + HBM-bounded multi-chip cascade: slab streaming INSIDE each
+#      row shard. The per-conv-halo tiled paths above hold each shard's full
+#      feature maps; this one bounds per-shard HBM by the slab size, so an
+#      8-chip mesh holds arbitrarily tall images (the UHD configuration that
+#      motivates the reference, README.md:2). ----
+
+
+def _exchange_row_halos(img: jax.Array, hm: int, axis_name: str) -> jax.Array:
+    """Extend a row-shard with ``hm`` rows from each mesh neighbour:
+    (N, H_loc, W, C) -> (N, H_loc + 2*hm, W, C). Global-edge shards receive
+    ppermute's zero fill in the out-of-image region — callers must never read
+    it (the slab index arithmetic below guarantees that)."""
+    n = lax.axis_size(axis_name)
+    top = lax.ppermute(img[:, -hm:], axis_name, [(i, i + 1) for i in range(n - 1)])
+    bot = lax.ppermute(img[:, :hm], axis_name, [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([top, img, bot], axis=1)
+
+
+def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
+                             slab_rows: int = 1024, method: str = "eigh",
+                             newton_iters: int = 24, eps: float = 1e-8,
+                             packed: bool = False, data_axis: str | None = None):
+    """One compiled program: row shards over ``space``, slab streaming inside
+    each shard, WCT statistics psum'd across the mesh.
+
+    Composition of the two ultra-resolution mechanisms:
+
+    * across chips: the image's rows are sharded over the ``space`` mesh axis
+      (shard_map); per stage, each shard exchanges ``2*margin`` input rows
+      with its neighbours ONCE (one ppermute pair per direction — not one per
+      conv like :func:`build_tiled_stylize_fn`), then works independently;
+    * within a chip: the shard streams through the stage in overlapping row
+      slabs (lax.scan), exactly like :func:`..wct.slab.build_fused_slab_cascade`,
+      so per-shard peak HBM is bounded by the slab size — independent of the
+      global image height;
+    * statistics: slab-partial (sum, gram) accumulate in the scan, then one
+      ``psum`` over ``space`` makes them global-exact; every shard computes
+      the same replicated C x C coloring matrix.
+
+    Slab-boundary semantics match :class:`..wct.slab.SlabCascade._slabs`:
+    interior slab margins come from recompute overlap (here possibly crossing
+    into neighbour halos); the global top/bottom edge slabs start at the true
+    image boundary so per-conv reflection there is the reference's semantics.
+
+    ``data_axis``: optionally also shard the batch over a second mesh axis
+    (combined DP x spatial serving mesh); statistics still psum only over
+    ``space``, so every data shard stylizes its own images independently.
+
+    Returns ``(fn, params)``; ``fn(params, img, style, alpha)`` wants global
+    H divisible by ``slab_rows * n_space`` (slab_rows is rounded up to the
+    pyramid granularity; use ``SlabCascade.pick_slab_rows`` + reflect-pad) and
+    the style small enough to encode whole (it is replicated per shard).
+    """
+    from ..models.packed_vgg import (
+        apply_decoder_packed,
+        apply_encoder_packed,
+        pack_stage_params,
+        packed_feature_stats,
+        packed_wct_apply,
+    )
+    from ..models.vgg import apply_decoder, apply_encoder
+    from ..wct.slab import SlabCascade
+
+    n_space = mesh.shape["space"]
+    assert n_space >= 2, "use build_fused_slab_cascade for a single chip"
+    helper = SlabCascade(pyramid, stages=stages, slab_rows=slab_rows,
+                         method=method, newton_iters=newton_iters, eps=eps,
+                         packed=packed)
+    slab, m = helper.slab_rows, helper.margin
+    assert slab >= 2 * m, (
+        f"slab_rows (rounded: {slab}) must be >= 2*margin ({2 * m}) so edge "
+        f"slabs share the mid-slab shape")
+    hm = 2 * m  # halo rows: edge slabs extend inward by 2m (see index math)
+    params = helper.packed_params if packed else {
+        k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
+    _HIGH = lax.Precision.HIGHEST
+
+    def _encode(pk, sl, spec):
+        if packed:
+            return apply_encoder_packed(pk, sl, spec)
+        return apply_encoder(pk, sl, spec)["out"], 1
+
+    def _stats_from(feats, f, c, offset_f, interior_f):
+        inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
+        n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
+        x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
+        s = jnp.sum(x, axis=0)
+        gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
+                               preferred_element_type=jnp.float32)
+        s1 = s.reshape(f, c).sum(axis=0)
+        if f > 1:
+            gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
+        return s1, gram, n_px
+
+    def _color_decode(feats, f, dk, spec_d, t, c_mean, s_mean, alpha, offset):
+        c = t.shape[0]
+        if packed:
+            csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
+            dec = apply_decoder_packed(dk, csf, f, spec_d)
+        else:
+            shape, dtype = feats.shape, feats.dtype
+            x = feats.reshape(-1, c).astype(jnp.float32)
+            target = _mm(x - c_mean, t.T) + s_mean
+            a = jnp.asarray(alpha, jnp.float32)
+            csf = (a * target + (1.0 - a) * x).reshape(shape).astype(dtype)
+            dec = apply_decoder(dk, csf, spec_d)["out"]
+        return lax.dynamic_slice_in_dim(dec, offset, slab, axis=1)
+
+    def per_shard(p, img, style, alpha):
+        h_loc = img.shape[1]
+        assert h_loc % slab == 0 and h_loc >= slab, (
+            f"per-shard H {h_loc} must be a positive multiple of slab_rows "
+            f"{slab}; pad global H to a multiple of {slab * n_space}")
+        n_slabs = h_loc // slab
+        idx = lax.axis_index("space")
+        is_first = idx == 0
+        is_last = idx == n_space - 1
+
+        def slab_coords(i):
+            """(ext_start, interior_offset) for local slab i, in the
+            halo-extended image's coordinates (ext row 0 = local row -2m).
+
+            mid slabs: one margin each side (start local i*slab - m);
+            the global-top shard's slab 0 starts at the TRUE boundary and
+            extends inward (per-conv reflection there IS the reference's
+            edge semantics); the global-bottom shard's last slab ends at
+            the true boundary likewise."""
+            start = i * slab + m          # mid: local i*slab - m -> ext +hm
+            off = jnp.full_like(start, m)
+            first = is_first & (i == 0)
+            last = is_last & (i == n_slabs - 1)
+            start = jnp.where(first, hm, start)              # local row 0
+            off = jnp.where(first, 0, off)
+            start = jnp.where(last, h_loc - slab, start)     # local h-slab-2m
+            off = jnp.where(last, hm, off)
+            return start, off
+
+        for k in stages:
+            spec_e = pyramid[k]["enc_spec"]
+            spec_d = pyramid[k]["dec_spec"]
+            down = 2 ** (k - 1)
+            c = spec_e.out_channels
+            interior_f = slab // down
+            # style statistics: style replicated; identical on every shard
+            s_feats, sf = _encode(p[k]["enc"], style, spec_e)
+            if packed:
+                s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
+            else:
+                x2 = s_feats.reshape(-1, c).astype(jnp.float32)
+                s_mean = jnp.mean(x2, axis=0)
+                xc = x2 - s_mean
+                s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
+                                        precision=_HIGH,
+                                        preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+
+            ext = _exchange_row_halos(img, hm, "space")
+            rows = slab + hm
+
+            def stat_body(carry, i, _ext=ext, _pk=p[k]["enc"], _spec=spec_e,
+                          _down=down, _interior=interior_f, _c=c):
+                s1, s2, cnt = carry
+                start, off = slab_coords(i)
+                sl = lax.dynamic_slice_in_dim(_ext, start, rows, axis=1)
+                feats, f = _encode(_pk, sl, _spec)
+                a, b, n_px = _stats_from(feats, f, _c, off // _down, _interior)
+                return (s1 + a, s2 + b, cnt + jnp.float32(n_px)), None
+
+            # carry accumulators vary over the image's mesh axes (each shard
+            # accumulates its own partials); mark the replicated zeros so
+            # shard_map's varying-manual-axes check accepts the scan carry
+            vma = ("space",) + ((data_axis,) if data_axis else ())
+            init = jax.tree.map(
+                lambda z: lax.pcast(z, vma, to="varying"),
+                (jnp.zeros((c,), jnp.float32), jnp.zeros((c, c), jnp.float32),
+                 jnp.zeros((), jnp.float32)))
+            (s1, s2, cnt), _ = lax.scan(stat_body, init, jnp.arange(n_slabs))
+            s1 = lax.psum(s1, "space")
+            s2 = lax.psum(s2, "space")
+            cnt = lax.psum(cnt, "space")
+            c_mean = s1 / cnt
+            c_cov = (s2 - cnt * jnp.outer(c_mean, c_mean)) / (cnt - 1)
+            t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
+                                newton_iters=newton_iters)
+
+            def apply_body(out_img, i, _ext=ext, _ek=p[k]["enc"], _dk=p[k]["dec"],
+                           _spec=spec_e, _spec_d=spec_d, _t=t, _cm=c_mean,
+                           _sm=s_mean):
+                start, off = slab_coords(i)
+                sl = lax.dynamic_slice_in_dim(_ext, start, rows, axis=1)
+                feats, f = _encode(_ek, sl, _spec)
+                dec = _color_decode(feats, f, _dk, _spec_d, _t, _cm, _sm,
+                                    alpha, off)
+                return lax.dynamic_update_slice(
+                    out_img, dec.astype(out_img.dtype), (0, i * slab, 0, 0)), None
+
+            img, _ = lax.scan(apply_body, jnp.zeros_like(img), jnp.arange(n_slabs))
+        return img
+
+    img_spec = P(data_axis, "space", None, None)
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), img_spec, P(data_axis), P()),
+        out_specs=img_spec,
+    )
+    return jax.jit(sharded), params

@@ -155,7 +155,11 @@ class WCTEngine:
         # shingled slab streaming for single-chip ultra-resolution inputs
         self.slab = None
         self._fused_slab = None
-        if slab_rows:
+        self.space = space if space and space > 1 else 0
+        self._tiled_fn = None
+        self._tiled_params = None
+        self._tiled_slab = 0
+        if slab_rows and not self.space:
             from .slab import SlabCascade, build_fused_slab_cascade
             self.slab = SlabCascade(self.pyramid, stages=self.stages,
                                     slab_rows=slab_rows, method=method,
@@ -164,15 +168,25 @@ class WCTEngine:
                 self._fused_slab = build_fused_slab_cascade(
                     self.pyramid, stages=self.stages, slab_rows=slab_rows,
                     method=method, newton_iters=newton_iters, packed=packed)
-        self.space = space if space and space > 1 else 0
-        self._tiled_fn = None
         if self.space:
             from ..parallel.mesh import make_mesh
-            from ..parallel.spatial import build_tiled_stylize_fn
             self.mesh = make_mesh(space=self.space)
-            self._tiled_fn = build_tiled_stylize_fn(
-                self.pyramid, self.mesh, stages=self.stages, method=method,
-                newton_iters=newton_iters)
+            if slab_rows:
+                # HBM-bounded multi-chip path: slab streaming inside each
+                # row shard, stats psum'd over the mesh
+                from ..parallel.spatial import build_tiled_slab_cascade
+                self._tiled_fn, self._tiled_params = build_tiled_slab_cascade(
+                    self.pyramid, self.mesh, stages=self.stages,
+                    slab_rows=slab_rows, method=method,
+                    newton_iters=newton_iters, packed=packed)
+                down_max = 2 ** (max(self.stages) - 1)
+                self._tiled_slab = -(-slab_rows // down_max) * down_max
+            else:
+                from ..parallel.spatial import build_tiled_stylize_fn
+                self._tiled_fn = build_tiled_stylize_fn(
+                    self.pyramid, self.mesh, stages=self.stages, method=method,
+                    newton_iters=newton_iters)
+                self._tiled_params = self.params
 
     # -- jitted building blocks (cached per stage; XLA caches per shape) --
 
@@ -287,10 +301,20 @@ class WCTEngine:
         elif self._tiled_fn is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sharding = NamedSharding(self.mesh, P(None, "space", None, None))
+            if self._tiled_slab:
+                # slab-in-shard path: pad H to slab granularity per shard;
+                # style is replicated (encoded whole on every shard)
+                mult = self._tiled_slab * self.space
+                hp = -(-img.shape[1] // mult) * mult
+                if hp != img.shape[1]:
+                    img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
+                                  mode="reflect")
+                sty = jax.device_put(sty, NamedSharding(self.mesh, P()))
+            else:
+                sty = jax.device_put(sty, sharding)
             img = jax.device_put(img, sharding)
-            sty = jax.device_put(sty, sharding)
             for _ in range(num_run):
-                img = self._tiled_fn(self.params, img, sty, alpha)
+                img = self._tiled_fn(self._tiled_params, img, sty, alpha)
         else:
             for _ in range(num_run):
                 for k in self.stages:
