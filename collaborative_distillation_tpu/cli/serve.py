@@ -30,11 +30,44 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
-def build_app(engine, log):
+def build_app(engine, log, *, max_styles: int = 256):
+    from collections import OrderedDict
+
     from PIL import Image
 
-    styles: dict[str, np.ndarray] = {}
-    lock = threading.Lock()
+    # LRU-bounded registry: a long-lived server registering styles forever
+    # must not grow host memory (raw style images) or device memory (the
+    # engine's per-stage statistics cache, itself LRU'd) without bound.
+    styles: OrderedDict[str, np.ndarray] = OrderedDict()
+    lock = threading.Lock()          # serializes device work (one accelerator)
+    registry_lock = threading.Lock()  # guards the styles dict only
+
+    def register(name: str, arr: np.ndarray) -> None:
+        with registry_lock:
+            if name in styles:
+                styles.move_to_end(name)
+            styles[name] = arr
+            if hasattr(engine, "invalidate_style"):
+                engine.invalidate_style(name)  # re-registration
+            while len(styles) > max_styles:
+                evicted, _ = styles.popitem(last=False)
+                if hasattr(engine, "invalidate_style"):
+                    engine.invalidate_style(evicted)
+                log(f"style registry full: evicted {evicted!r}")
+
+    def warm(name: str, arr: np.ndarray) -> None:
+        # background: the first warm-up includes an XLA compile (tens of
+        # seconds on a remote TPU) — holding the engine lock from the
+        # registration request would block every concurrent /stylize for
+        # the duration. Requests arriving before the warm finishes simply
+        # queue on the engine lock and compute the stats themselves.
+        try:
+            probe = np.zeros((32, 32, 3), np.uint8)
+            with lock:
+                engine.stylize(probe, arr, style_key=name)
+            log(f"style {name!r} warm")
+        except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+            log(f"style warm-up failed for {name!r}: {type(e).__name__}: {e}")
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -61,7 +94,9 @@ def build_app(engine, log):
                                  "method": engine.method,
                                  "stages": list(engine.stages)})
             elif path == "/styles":
-                self._json(200, {"styles": sorted(styles)})
+                with registry_lock:
+                    names = sorted(styles)
+                self._json(200, {"styles": names})
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -74,28 +109,30 @@ def build_app(engine, log):
                         return self._json(400, {"error": "style name required"})
                     img = Image.open(io.BytesIO(self._read_body())).convert("RGB")
                     arr = np.asarray(img, np.uint8)
-                    with lock:
-                        styles[name] = arr
-                        if hasattr(engine, "invalidate_style"):
-                            engine.invalidate_style(name)  # re-registration
-                        # warm the per-stage statistics now (engine caches them)
-                        probe = np.zeros((32, 32, 3), np.uint8)
-                        engine.stylize(probe, arr, style_key=name)
+                    register(name, arr)
+                    threading.Thread(target=warm, args=(name, arr),
+                                     daemon=True).start()
                     return self._json(200, {"registered": name,
-                                            "size": list(arr.shape[:2])})
+                                            "size": list(arr.shape[:2]),
+                                            "warming": True})
                 if url.path == "/stylize":
                     q = parse_qs(url.query)
                     alpha = float(q.get("alpha", ["1.0"])[0])
                     name = q.get("style", [None])[0]
-                    if name is None or name not in styles:
+                    with registry_lock:
+                        style_arr = styles.get(name) if name else None
+                        if style_arr is not None:
+                            styles.move_to_end(name)
+                        known = sorted(styles)
+                    if style_arr is None:
                         return self._json(400, {
                             "error": f"unknown style {name!r}; register via POST /style/<name>",
-                            "styles": sorted(styles)})
+                            "styles": known})
                     content = np.asarray(
                         Image.open(io.BytesIO(self._read_body())).convert("RGB"),
                         np.uint8)
                     with lock:
-                        out = engine.stylize(content, styles[name], alpha=alpha,
+                        out = engine.stylize(content, style_arr, alpha=alpha,
                                              style_key=name, as_uint8=True)
                     buf = io.BytesIO()
                     Image.fromarray(out).save(buf, format="JPEG", quality=95)

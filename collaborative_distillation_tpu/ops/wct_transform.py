@@ -80,18 +80,50 @@ def matrix_isqrt_sqrt_eigh(
     return isqrt, sqrt
 
 
+def _lambda_max_estimate(a: jax.Array, iters: int = 8) -> jax.Array:
+    """Power-iteration lower bound on the largest eigenvalue of SPD ``a``
+    (a handful of C x C matvecs — negligible next to the C^3 iteration)."""
+    c = a.shape[0]
+    v = jnp.ones((c,), jnp.float32) / jnp.sqrt(jnp.float32(c))
+
+    def body(_, v):
+        w = a @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = lax.fori_loop(0, iters, body, v)
+    # Rayleigh quotient <= lambda_max; floor by trace/c (mean eigenvalue)
+    return jnp.maximum(v @ (a @ v), jnp.trace(a) / c)
+
+
 def matrix_isqrt_sqrt_newton(
-    cov: jax.Array, *, eps: float = 1e-8, iters: int = 24
+    cov: jax.Array, *, eps: float = 1e-8, iters: int = 24,
+    rel_floor: float = 1e-6
 ) -> tuple[jax.Array, jax.Array]:
     """(cov^-1/2, cov^1/2) via coupled Newton–Schulz iteration.
 
     Y_{k+1} = Y_k (3I - Z_k Y_k)/2,  Z_{k+1} = (3I - Z_k Y_k)/2 Z_k with
     A normalized by its Frobenius norm; converges quadratically for SPD A.
     Pure matmuls -> runs entirely on the MXU; no eigendecomposition.
+
+    Conditioning: A is floored by ``delta = max(rel_floor * lambda_max_est,
+    eps)`` before iterating, which caps the condition number at roughly
+    ``1/rel_floor`` (exactly, when the power-iteration estimate is tight).
+    Newton–Schulz needs about ``log2(cond) + 10`` iterations; the default
+    rel_floor of 1e-6 (cond <= ~1e6 -> ~30 iterations for full convergence)
+    keeps directions above 1e-6 * lambda_max numerically faithful while the
+    default ``iters=24`` resolves the dominant 1e4 of that spectrum to f32
+    accuracy — raise ``iters`` to ~30 if the tail matters. This is the
+    iterative analog of the eigh path's relative-eigenvalue truncation
+    (reference EigenValueThre rank cutoff, util_wct.py:25/82-89): directions
+    with eigenvalue << delta get a bounded ~delta^{-1/2} whitening gain,
+    i.e. near-zero contribution after coloring, where the eigh path zeroes
+    them exactly.
     """
     c = cov.shape[0]
     eye = jnp.eye(c, dtype=jnp.float32)
-    a = cov.astype(jnp.float32) + eps * eye
+    a = cov.astype(jnp.float32)
+    delta = jnp.maximum(rel_floor * _lambda_max_estimate(a), eps)
+    a = a + delta * eye
     norm = jnp.sqrt(jnp.sum(a * a))
     y0 = a / norm
     z0 = eye

@@ -84,3 +84,42 @@ def test_garbage_body_is_500_not_crash(server):
     # server still alive
     with urllib.request.urlopen(server + "/healthz") as resp:
         assert json.loads(resp.read())["ok"]
+
+
+@pytest.fixture()
+def tiny_registry_server():
+    from http.server import ThreadingHTTPServer
+
+    handler = build_app(_toy_engine(), lambda m: None, max_styles=2)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_register_returns_immediately_with_warming_flag(server, rng):
+    sty = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    code, body, _ = _post(server + "/style/asyncwarm", _jpeg_bytes(sty))
+    assert code == 200
+    reply = json.loads(body)
+    assert reply["registered"] == "asyncwarm" and reply["warming"] is True
+    # a stylize racing the warm-up must still succeed (it queues on the
+    # engine lock and computes the statistics itself if needed)
+    content = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    code, body, ctype = _post(server + "/stylize?style=asyncwarm", _jpeg_bytes(content))
+    assert code == 200 and ctype == "image/jpeg"
+
+
+def test_style_registry_lru_eviction(tiny_registry_server, rng):
+    url = tiny_registry_server
+    for name in ("a", "b", "c"):  # capacity 2 -> 'a' evicted
+        sty = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        code, _, _ = _post(url + f"/style/{name}", _jpeg_bytes(sty))
+        assert code == 200
+    with urllib.request.urlopen(url + "/styles") as resp:
+        names = json.loads(resp.read())["styles"]
+    assert names == ["b", "c"]
+    content = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    code, body, _ = _post(url + "/stylize?style=a", _jpeg_bytes(content))
+    assert code == 400 and b"unknown style" in body

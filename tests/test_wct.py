@@ -68,6 +68,51 @@ def test_colored_matches_style_covariance(rng, method):
     np.testing.assert_allclose(np.asarray(o_cov), np.asarray(s_cov), rtol=2e-1, atol=np.abs(np.asarray(s_cov)).max() * 5e-2)
 
 
+@pytest.mark.parametrize("method", ["eigh", "newton"])
+def test_rank_deficient_covariance(rng, method):
+    """Genuinely rank-deficient content covariance (the reference's
+    EigenValueThre cutoff case, util_wct.py:25): rank 6 in a 32-dim channel
+    space. Both decompositions must stay finite, whiten the ROW space to
+    ~identity, and keep the null space's whitening gain bounded (eigh
+    truncates it to exactly 0; Newton's relative floor caps it near 0)."""
+    c, r, p = 32, 6, 4000
+    basis = np.linalg.qr(rng.standard_normal((c, r)))[0].astype(np.float32)
+    x = (rng.standard_normal((p, r)).astype(np.float32) * 5.0) @ basis.T
+    mean, cov = feature_stats(jnp.asarray(x))
+    assert np.linalg.matrix_rank(np.asarray(cov), tol=1e-4) == r
+    t = coloring_matrix(cov, jnp.eye(c), method=method)
+    t = np.asarray(t)
+    assert np.isfinite(t).all()
+    w = (x - np.asarray(mean)) @ t.T
+    wcov = w.T @ w / (p - 1)
+    # row space: the r nonzero eigenvalues of the whitened covariance ~ 1
+    lam = np.sort(np.linalg.eigvalsh(wcov))
+    np.testing.assert_allclose(lam[-r:], 1.0, atol=0.1)
+    # null space: no explosive gain (bounded by the floor semantics)
+    assert lam[:-r].max() < 0.15
+    # and the transform maps actual data to finite, bounded outputs
+    assert np.abs(w).max() < 1e3
+
+
+@pytest.mark.parametrize("cond", [1e2, 1e4])
+def test_newton_matches_eigh_on_ill_conditioned(rng, cond):
+    """Newton–Schulz vs eigh across condition numbers up to the documented
+    ~1/rel_floor bound: isqrt/sqrt agree on the well-determined subspace."""
+    c = 48
+    q = np.linalg.qr(rng.standard_normal((c, c)))[0].astype(np.float32)
+    lam = np.geomspace(1.0, 1.0 / cond, c).astype(np.float32)
+    cov = (q * lam) @ q.T
+    isq_e, sq_e = (np.asarray(m) for m in matrix_isqrt_sqrt_eigh(jnp.asarray(cov)))
+    isq_n, sq_n = (np.asarray(m) for m in matrix_isqrt_sqrt_newton(jnp.asarray(cov)))
+    np.testing.assert_allclose(sq_n, sq_e, atol=5e-3 * np.abs(sq_e).max())
+    # compare isqrt through its action on the dominant subspace (small
+    # eigenvalues near the floor legitimately differ: truncate-to-0 vs cap)
+    k = (lam > 1e-3).sum()
+    proj = q[:, :k]
+    np.testing.assert_allclose(isq_n @ proj, isq_e @ proj,
+                               atol=2e-2 * np.abs(isq_e @ proj).max())
+
+
 def test_alpha_zero_is_identity(rng):
     x = _rand_feat(rng, 400, 16).reshape(1, 20, 20, 16)
     s = _rand_feat(rng, 400, 16)
