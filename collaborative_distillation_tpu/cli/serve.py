@@ -134,9 +134,15 @@ def build_app(engine, log, *, max_styles: int = 256):
                     with lock:
                         out = engine.stylize(content, style_arr, alpha=alpha,
                                              style_key=name, as_uint8=True)
-                    buf = io.BytesIO()
-                    Image.fromarray(out).save(buf, format="JPEG", quality=95)
-                    return self._send(200, buf.getvalue(), "image/jpeg")
+                    # native libjpeg encode (GIL released -> concurrent
+                    # encodes across server threads); PIL fallback
+                    from ..data.native_codec import encode_jpeg
+                    body = encode_jpeg(out, quality=95)
+                    if body is None:
+                        buf = io.BytesIO()
+                        Image.fromarray(out).save(buf, format="JPEG", quality=95)
+                        body = buf.getvalue()
+                    return self._send(200, body, "image/jpeg")
                 return self._json(404, {"error": f"unknown path {url.path}"})
             except Exception as e:  # noqa: BLE001 — turn into a 500, keep serving
                 log(f"request failed: {type(e).__name__}: {e}")

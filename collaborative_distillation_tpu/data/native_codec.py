@@ -17,7 +17,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side"]
+__all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "imgcodec.cpp")
@@ -50,6 +50,10 @@ def _load():
             lib.cd_resize_rgb.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.cd_jpeg_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_long]
+            lib.cd_jpeg_encode.restype = ctypes.c_long
             _lib = lib
         except Exception:
             _failed = True
@@ -76,6 +80,32 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray | None:
                           w.value, h.value) != 0:
         return None
     return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes | None:
+    """(H, W, 3) uint8 -> JPEG bytes via libjpeg with the GIL released
+    (server threads encode big stylized outputs concurrently; PIL holds the
+    GIL for the whole compress). Returns None if unavailable — callers fall
+    back to PIL."""
+    lib = _load()
+    if lib is None:
+        return None
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        return None
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape[:2]
+    cap = w * h * 3 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.cd_jpeg_encode(arr.ctypes.data_as(ctypes.c_void_p), w, h, quality,
+                           out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n == -2:  # buffer too small (pathological content) — one retry, 2x
+        cap *= 2
+        out = np.empty(cap, np.uint8)
+        n = lib.cd_jpeg_encode(arr.ctypes.data_as(ctypes.c_void_p), w, h,
+                               quality, out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
 
 
 def decode_jpeg_shorter_side(data: bytes, shorter_side: int) -> np.ndarray | None:

@@ -36,8 +36,14 @@ def _stats_kernel(x_ref, sum_ref, gram_ref, acc_sum, acc_gram):
 
     x = x_ref[:]
     acc_sum[:] += jnp.sum(x, axis=0, keepdims=True)
+    # HIGHEST: full-f32 MXU passes. Every other stats path (slab, spatial,
+    # wct_transform) accumulates the covariance at HIGHEST; the default
+    # (bf16-mantissa passes) would silently feed a reduced-precision gram
+    # into eigh at UHD pixel counts. The kernel is bandwidth-bound, so the
+    # extra MXU passes are free (measured: same throughput).
     acc_gram[:] += lax.dot_general(
-        x, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        x, x, (((0,), (0,)), ((), ())), precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _flush():

@@ -16,6 +16,7 @@
 
 #include <csetjmp>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -98,6 +99,53 @@ int cd_jpeg_decode(const uint8_t* data, long len, int scale_denom,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return 0;
+}
+
+// Encode RGB8 -> baseline JPEG into a caller-provided buffer.
+// Returns bytes written, or negative on failure (-2: buffer too small —
+// retry with a larger one; worst case is ~w*h*3 + 1024 for quality 100).
+// Called with the GIL released via ctypes: server threads encode big
+// stylized outputs in parallel instead of serializing in PIL.
+long cd_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
+                    uint8_t* out, long out_cap) {
+  if (w <= 0 || h <= 0 || quality < 1 || quality > 100) return -1;
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  unsigned char* buf = out;
+  unsigned long buf_len = static_cast<unsigned long>(out_cap);
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  // jpeg_mem_dest mallocs a bigger buffer if ours is too small; detect that
+  // and report -2 so the caller retries (we never want a malloc'd result we
+  // would have to copy + free across the ABI).
+  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const long stride = static_cast<long>(w) * 3;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        rgb + static_cast<long>(cinfo.next_scanline) * stride);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  long written = static_cast<long>(buf_len);
+  bool reallocated = (buf != out);
+  jpeg_destroy_compress(&cinfo);
+  if (reallocated) {
+    free(buf);
+    return -2;
+  }
+  return written;
 }
 
 // Box-filter resize RGB8 (for the shorter-side resize after DCT scaling).

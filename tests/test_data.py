@@ -169,3 +169,31 @@ def test_dataset_rng_thread_safety(img_dir):
         outs = list(pool.map(lambda i: ds[i % len(ds)][0], range(64)))
     for arr in outs:
         assert arr.shape == (64, 64, 3) and np.isfinite(arr).all()
+
+
+def test_native_encode_jpeg_roundtrip(rng):
+    from collaborative_distillation_tpu.data import native_codec as nc
+
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    small = rng.random((16, 20, 3))
+    arr = (np.kron(small, np.ones((8, 8, 1))) * 255).astype(np.uint8)
+    b = nc.encode_jpeg(arr, quality=95)
+    assert b is not None and b[:2] == b"\xff\xd8"  # JPEG SOI
+    back = nc.decode_jpeg(b)
+    assert back.shape == arr.shape
+    assert np.abs(back.astype(int) - arr.astype(int)).mean() < 15
+    # PIL interoperability
+    import io
+    from PIL import Image
+    pil = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    assert pil.shape == arr.shape
+
+
+def test_native_encode_jpeg_rejects_bad_input():
+    from collaborative_distillation_tpu.data import native_codec as nc
+
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    assert nc.encode_jpeg(np.zeros((4, 4), np.uint8)) is None
+    assert nc.encode_jpeg(np.zeros((4, 4, 3), np.float32)) is None
