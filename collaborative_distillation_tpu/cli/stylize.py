@@ -99,8 +99,7 @@ def main(argv=None) -> int:
                              num_run=args.num_run, style_key=dataset.pairs[i][1],
                              as_uint8=True)
         out_name = f"{args.log_mark}_mode={args.mode}_alpha={args.alpha}_{name}"
-        from PIL import Image
-        Image.fromarray(out).save(os.path.join(args.outf, out_name))
+        save_image(out, os.path.join(args.outf, out_name))
         dt = time.time() - t0
         total_t += dt
         tp.tick(content.shape[0] * content.shape[1])

@@ -165,9 +165,13 @@ class WCTEngine:
                                     slab_rows=slab_rows, method=method,
                                     newton_iters=newton_iters, packed=packed)
             if fused:
+                # style stats are computed (and cached per style_key) outside
+                # the fused program — re-encoding the style every run costs
+                # ~0.4 s at UHD for nothing
                 self._fused_slab = build_fused_slab_cascade(
                     self.pyramid, stages=self.stages, slab_rows=slab_rows,
-                    method=method, newton_iters=newton_iters, packed=packed)
+                    method=method, newton_iters=newton_iters, packed=packed,
+                    external_style_stats=True)
         if self.space:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh(space=self.space)
@@ -224,6 +228,20 @@ class WCTEngine:
                 self._style_cache.popitem(last=False)
         return stats
 
+    def _fused_style_stats(self, style: jax.Array, style_key=None):
+        """Per-stage {k: (mean, cov)} for the fused slab cascade (computed by
+        the SlabCascade's per-stage programs, packed-aware), LRU-cached."""
+        key = ("fused", style_key, style.shape) if style_key is not None else None
+        if key is not None and key in self._style_cache:
+            self._style_cache.move_to_end(key)
+            return self._style_cache[key]
+        stats = {k: self.slab._style_stats(k, style) for k in self.stages}
+        if key is not None:
+            self._style_cache[key] = stats
+            while len(self._style_cache) > STYLE_CACHE_MAX:
+                self._style_cache.popitem(last=False)
+        return stats
+
     def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
                 *, num_run: int = 1, style_key=None, as_uint8: bool = False,
                 pwct: bool = False) -> np.ndarray:
@@ -268,17 +286,18 @@ class WCTEngine:
                         self._stage_fns[key] = build_fused_slab_cascade(
                             self.pyramid, stages=self.stages, slab_rows=better,
                             method=self.method, newton_iters=self.newton_iters,
-                            packed=self.slab.packed)
+                            packed=self.slab.packed, external_style_stats=True)
                     fn, fparams = self._stage_fns[key]
                     slab = better
                     hp = -(-img.shape[1] // slab) * slab
             if hp != img.shape[1]:
                 img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
                               mode="reflect")
+            sstats = self._fused_style_stats(sty, style_key)
             completed = 0
             try:
                 while completed < num_run:
-                    img = fn(fparams, img, sty, alpha)
+                    img = fn(fparams, img, sstats, alpha)
                     completed += 1
             except _XLA_ERRORS as e:
                 # very large fused programs can fail to compile/execute (seen

@@ -353,7 +353,8 @@ class SlabCascade:
 def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
                              method: str = "eigh", newton_iters: int = 24,
                              eps: float = 1e-8, packed: bool = False,
-                             feature_cache_bytes: int = 5_000_000_000):
+                             feature_cache_bytes: int = 5_000_000_000,
+                             external_style_stats: bool = False):
     """One compiled program for the whole slab cascade.
 
     The per-slab python loops of :class:`SlabCascade` become ``lax.scan``s
@@ -371,6 +372,12 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     Returns ``(fn, params)`` where ``fn(params, img, style, alpha) -> img``
     expects H == a multiple of slab_rows (>= 2*margin) and W a multiple of 16
     (and of 8 when packed).
+
+    ``external_style_stats``: the cascade re-encodes the style image at every
+    run; with per-style caching (the engine's ``style_key``) that encode is
+    pure waste (~0.4 s of the 2.1 s UHD cascade). When True, ``fn`` takes
+    ``{stage: (mean, cov)}`` precomputed statistics instead of the raw style
+    image (compute them once via :meth:`SlabCascade._style_stats`).
     """
     helper = SlabCascade(pyramid, stages=stages, slab_rows=slab_rows,
                          method=method, newton_iters=newton_iters, eps=eps,
@@ -426,17 +433,22 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
             spec_d = pyramid[k]["dec_spec"]
             down = 2 ** (k - 1)
             c = spec_e.out_channels
-            # style statistics (style is small; encoded whole)
-            s_feats, sf = _encode(p[k]["enc"], style, spec_e)
-            if packed:
-                s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
+            if external_style_stats:
+                s_mean, s_cov = style[k]
+                s_mean = s_mean.astype(jnp.float32)
+                s_cov = s_cov.astype(jnp.float32)
             else:
-                x2 = s_feats.reshape(-1, c).astype(jnp.float32)
-                s_mean = jnp.mean(x2, axis=0)
-                xc = x2 - s_mean
-                s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
-                                        precision=_HIGH,
-                                        preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+                # style statistics (style is small; encoded whole)
+                s_feats, sf = _encode(p[k]["enc"], style, spec_e)
+                if packed:
+                    s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
+                else:
+                    x2 = s_feats.reshape(-1, c).astype(jnp.float32)
+                    s_mean = jnp.mean(x2, axis=0)
+                    xc = x2 - s_mean
+                    s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
+                                            precision=_HIGH,
+                                            preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
 
             interior_f = slab // down
             # decide feature caching from the stacked-feature byte size

@@ -176,3 +176,35 @@ def test_fused_cascade_cache_on_off_equivalent(rng, cache_bytes):
                                              feature_cache_bytes=5_000_000_000)
     ref = ref_fn(ref_p, content, style, 0.9)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_engine_fused_external_style_stats(rng):
+    """The engine's fused path takes precomputed per-stage style statistics
+    (cached per style_key) instead of re-encoding the style every run; output
+    must match the plain per-stage engine, and a cache hit must be
+    bit-identical to the miss."""
+    import jax
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    key = jax.random.key(3)
+    stages = (2, 1)
+    pyramid = {}
+    for s in stages:
+        key, k1, k2 = jax.random.split(key, 3)
+        espec = encoder_spec("16x", s, aux=True)
+        dspec = decoder_spec("16x", s)
+        pyramid[s] = {"enc_spec": espec, "dec_spec": dspec,
+                      "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}
+    c = rng.random((64, 32, 3), np.float32)
+    s = rng.random((48, 32, 3), np.float32)
+    eng_fused = WCTEngine(mode="16x", pyramid=pyramid, stages=stages,
+                          slab_rows=32, fused=True, packed=False)
+    eng_plain = WCTEngine(mode="16x", pyramid=pyramid, stages=stages)
+    out_f = eng_fused.stylize(c, s, alpha=0.9, style_key="x")
+    out_p = eng_plain.stylize(c, s, alpha=0.9)
+    np.testing.assert_allclose(out_f, out_p, atol=3e-3, rtol=0)
+    assert any(k[0] == "fused" for k in eng_fused._style_cache)
+    out_f2 = eng_fused.stylize(c, s, alpha=0.9, style_key="x")  # cache hit
+    np.testing.assert_array_equal(out_f, out_f2)
