@@ -64,8 +64,9 @@ def _random_teacher_params(stage, kind, rng):
 
 
 @pytest.fixture(scope="module")
-def teacher_store(tmp_path_factory, rng):
+def teacher_store(tmp_path_factory):
     """Fabricated-reference-checkout -> converted + normalized weight store."""
+    rng = np.random.default_rng(0)
     ref = tmp_path_factory.mktemp("ref") / "trained_models"
     t7dir = ref / "original_wct_models"
     t7dir.mkdir(parents=True)

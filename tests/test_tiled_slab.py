@@ -35,7 +35,8 @@ def pyramid():
 
 
 @pytest.fixture(scope="module")
-def imgs(rng):
+def imgs():
+    rng = np.random.default_rng(0)
     c = rng.random((1, 192, 48, 3), np.float32)
     s = rng.random((1, 64, 48, 3), np.float32)
     return jnp.asarray(c), jnp.asarray(s)
