@@ -89,20 +89,31 @@ def main(argv=None) -> int:
     total_t = 0.0
     profile_ctx = trace(args.profile)
     profile_ctx.__enter__()
-    for i in range(len(dataset)):
-        content, style, name = dataset[i]
-        log("*" * 30 + f' #{i}: Transferring "{name}"')
-        t0 = time.time()
-        # uint8 at the host<->device boundary: 4x less transfer than f32
-        out = engine.stylize((content * 255).astype(np.uint8),
-                             (style * 255).astype(np.uint8), alpha=args.alpha,
-                             num_run=args.num_run, style_key=dataset.pairs[i][1],
-                             as_uint8=True)
+    # pipelined across pairs: pair i+1's decode+upload and pair i-1's
+    # readback overlap pair i's cascade (uint8 at the boundary: 4x less
+    # transfer). The pair generator is lazy — one pair decoded ahead.
+    from collections import deque
+    meta: deque = deque()
+
+    def pair_gen():
+        for i in range(len(dataset)):
+            c, s, name = dataset[i]
+            meta.append((name, c.shape))
+            yield ((c * 255).astype(np.uint8), (s * 255).astype(np.uint8))
+
+    keys = (dataset.pairs[i][1] for i in range(len(dataset)))
+    t_prev = time.time()
+    for i, out in enumerate(engine.stylize_pairs(
+            pair_gen(), alpha=args.alpha, num_run=args.num_run,
+            style_keys=keys)):
+        name, cshape = meta.popleft()
+        log("*" * 30 + f' #{i}: Transferred "{name}"')
         out_name = f"{args.log_mark}_mode={args.mode}_alpha={args.alpha}_{name}"
         save_image(out, os.path.join(args.outf, out_name))
-        dt = time.time() - t0
+        dt = time.time() - t_prev
+        t_prev = time.time()
         total_t += dt
-        tp.tick(content.shape[0] * content.shape[1])
+        tp.tick(cshape[0] * cshape[1])
         log(f"Elapsed time is: {dt:.4f} seconds")
     profile_ctx.__exit__(None, None, None)
     if len(dataset):

@@ -242,21 +242,9 @@ class WCTEngine:
                 self._style_cache.popitem(last=False)
         return stats
 
-    def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
-                *, num_run: int = 1, style_key=None, as_uint8: bool = False,
-                pwct: bool = False) -> np.ndarray:
-        """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3),
-        float in [0, 1] or uint8 in [0, 255]; returns the same rank, clipped.
+    # -- the three pipeline phases: upload/convert/pad -> cascade -> fetch --
 
-        uint8 inputs/outputs are converted on-device: only 3 bytes/pixel cross
-        the host<->device link, which matters at UHD scale (the device cascade
-        is ~3 s for 42 MPix; an f32 image is 0.5 GB of transfer).
-        """
-        if pwct and (self.slab is not None or self._tiled_fn is not None
-                     or self._fused_slab is not None):
-            raise ValueError(
-                "pwct=True is only supported on the plain per-stage path; "
-                "construct the engine without slab_rows/space for photo-WCT")
+    def _to_device(self, content: np.ndarray, style: np.ndarray):
         squeeze = content.ndim == 3
         if squeeze:
             content = content[None]
@@ -269,6 +257,91 @@ class WCTEngine:
         mult_h = 16 * self.space if self.space else 16
         img, orig_hw = _pad_to_multiple(img, mult_h, 16)
         sty, _ = _pad_to_multiple(sty, mult_h, 16)
+        return img, sty, squeeze, orig_hw
+
+    def _from_device(self, img, orig_hw, squeeze: bool, as_uint8: bool) -> np.ndarray:
+        img = img[:, : orig_hw[0], : orig_hw[1], :]
+        if not isinstance(img, np.ndarray):  # np = already streamed as uint8
+            if as_uint8:
+                img = fetch(self._float_to_u8(img))
+            else:
+                img = fetch(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))
+        return img[0] if squeeze else img
+
+    def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
+                *, num_run: int = 1, style_key=None, as_uint8: bool = False,
+                pwct: bool = False) -> np.ndarray:
+        """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3),
+        float in [0, 1] or uint8 in [0, 255]; returns the same rank, clipped.
+
+        uint8 inputs/outputs are converted on-device: only 3 bytes/pixel cross
+        the host<->device link, which matters at UHD scale (the device cascade
+        is ~3 s for 42 MPix; an f32 image is 0.5 GB of transfer).
+        """
+        img, sty, squeeze, orig_hw = self._to_device(content, style)
+        img = self._run_device(img, sty, alpha, num_run=num_run,
+                               style_key=style_key, as_uint8=as_uint8,
+                               pwct=pwct, orig_hw=orig_hw)
+        return self._from_device(img, orig_hw, squeeze, as_uint8)
+
+    def stylize_pairs(self, pairs, alpha: float = 1.0, *, num_run: int = 1,
+                      style_keys=None, as_uint8: bool = True):
+        """Pipelined stylization of many (content, style) pairs.
+
+        Three overlapping phases per pair — upload/convert, cascade, chunked
+        readback — so pair i+1's upload and pair i-1's readback ride the
+        host<->device link while pair i computes (the link and the chip are
+        independent resources; serially they'd add up). Dispatch is async, so
+        the driving thread never blocks on the device.
+
+        ``pairs`` may be any (lazy) iterable — at most one pair is being
+        decoded/uploaded ahead, so a huge grid never materializes in host
+        RAM. ``style_keys``: optional per-pair statistics-cache keys
+        (iterable). Yields results in order.
+        """
+        import itertools
+        from concurrent.futures import ThreadPoolExecutor
+
+        keys = iter(style_keys) if style_keys is not None else itertools.repeat(None)
+        stream = iter(zip(pairs, keys))
+
+        def prep():
+            item = next(stream, None)
+            if item is None:
+                return None
+            (c, s), key = item
+            return (*self._to_device(c, s), key)
+
+        with ThreadPoolExecutor(2) as pool:  # one uploader + one fetcher
+            nxt = pool.submit(prep)
+            fetches = []
+            while True:
+                r = nxt.result()
+                if r is None:
+                    break
+                img, sty, squeeze, orig_hw, key = r
+                nxt = pool.submit(prep)
+                out = self._run_device(img, sty, alpha, num_run=num_run,
+                                       style_key=key, as_uint8=as_uint8,
+                                       pwct=False, orig_hw=orig_hw)
+                fetches.append(pool.submit(
+                    self._from_device, out, orig_hw, squeeze, as_uint8))
+                # bound in-flight device images (HBM) to 2; results stream
+                # out in order as their readbacks land
+                if len(fetches) > 2:
+                    yield fetches.pop(0).result()
+            for f in fetches:
+                yield f.result()
+
+    def _run_device(self, img, sty, alpha, *, num_run: int, style_key,
+                    as_uint8: bool, pwct: bool, orig_hw):
+        """Run the cascade on device-resident inputs; returns the (padded)
+        device image, or a host uint8 array if a streaming path fetched it."""
+        if pwct and (self.slab is not None or self._tiled_fn is not None
+                     or self._fused_slab is not None):
+            raise ValueError(
+                "pwct=True is only supported on the plain per-stage path; "
+                "construct the engine without slab_rows/space for photo-WCT")
         alpha = jnp.asarray(alpha, jnp.float32)
         if self._fused_slab is not None:
             fn, fparams = self._fused_slab
@@ -340,14 +413,7 @@ class WCTEngine:
                     s_mean, s_cov = self._style_stats(k, sty, cache_key=style_key)
                     img = self._stage_fn(k, pwct)(self.params[k]["enc"], self.params[k]["dec"],
                                                   img, s_mean, s_cov, alpha)
-        img = img[:, : orig_hw[0], : orig_hw[1], :]
-        if isinstance(img, np.ndarray):  # already streamed back as uint8
-            out = img
-        elif as_uint8:
-            out = fetch(self._float_to_u8(img))
-        else:
-            out = fetch(jnp.clip(img.astype(jnp.float32), 0.0, 1.0))
-        return out[0] if squeeze else out
+        return img
 
     @staticmethod
     @jax.jit

@@ -208,3 +208,33 @@ def test_engine_fused_external_style_stats(rng):
     assert any(k[0] == "fused" for k in eng_fused._style_cache)
     out_f2 = eng_fused.stylize(c, s, alpha=0.9, style_key="x")  # cache hit
     np.testing.assert_array_equal(out_f, out_f2)
+
+
+def test_stylize_pairs_pipeline_matches_sequential(rng):
+    """stylize_pairs (upload/compute/readback pipelined across pairs) must
+    produce exactly what per-pair stylize produces, in order, including with
+    more pairs than the in-flight bound."""
+    import jax
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    key = jax.random.key(5)
+    stages = (2, 1)
+    pyramid = {}
+    for s in stages:
+        key, k1, k2 = jax.random.split(key, 3)
+        espec = encoder_spec("16x", s, aux=True)
+        dspec = decoder_spec("16x", s)
+        pyramid[s] = {"enc_spec": espec, "dec_spec": dspec,
+                      "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=stages,
+                    slab_rows=32, fused=True, packed=False)
+    pairs = [((rng.random((48, 32, 3)) * 255).astype(np.uint8),
+              (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+             for _ in range(5)]
+    keys = [f"s{i}" for i in range(5)]
+    piped = list(eng.stylize_pairs(pairs, alpha=0.8, style_keys=keys))
+    for i, (c, s) in enumerate(pairs):
+        ref = eng.stylize(c, s, alpha=0.8, style_key=keys[i], as_uint8=True)
+        np.testing.assert_array_equal(piped[i], ref)
