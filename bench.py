@@ -127,6 +127,24 @@ def main():
     results["2k_e2e_mpix_s"] = round(2048 * 1024 / 1e6 / best2, 2)
     log(f"2K end-to-end: {best2:.3f}s = {results['2k_e2e_mpix_s']} MPix/s")
 
+    # 4x4 content x style grid at 2K, pipelined (upload/compute/readback
+    # overlapped across pairs, style stats cached per style)
+    rng = np.random.default_rng(1)
+    cs = [load_pair(2048, 1024, 1024, 1024)[0] for _ in range(2)]
+    cs.append(np.ascontiguousarray(cs[0][::-1]))
+    cs.append(np.ascontiguousarray(cs[0][:, ::-1]))
+    ss = [s2, np.ascontiguousarray(s2[::-1]),
+          np.ascontiguousarray(s2[:, ::-1]),
+          rng.integers(0, 255, s2.shape, dtype=np.uint8)]
+    pairs = [(c, s) for c in cs for s in ss]
+    keys = [f"grid{j % 4}" for j in range(16)]
+    list(eng.stylize_pairs(pairs[:2], style_keys=keys[:2]))  # warm
+    t0 = time.time()
+    outs = list(eng.stylize_pairs(pairs, style_keys=keys))
+    grid_dt = (time.time() - t0) / len(pairs)
+    results["grid_2k_s_per_pair"] = round(grid_dt, 3)
+    log(f"4x4 grid @2K pipelined: {grid_dt:.3f} s/pair")
+
     # on-device cascade (the hardware-limited number)
     cd = eng._u8_to_float(jnp.asarray(cu[None]))
     sd = eng._u8_to_float(jnp.asarray(su[None]))
