@@ -113,6 +113,17 @@ def main():
     results["uhd_e2e_mpix_s"] = round(mpix / best_e2e, 2)
     log(f"UHD end-to-end: {best_e2e:.2f}s = {mpix / best_e2e:.2f} MPix/s")
 
+    # JPEG-native 4:2:0 transport (half the link bytes; both endpoints are
+    # JPEGs so the saved artifact is unchanged up to chroma-box rounding)
+    best_yuv = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        eng.stylize(cu, su, style_key="bench", as_uint8=True, transport="yuv420")
+        best_yuv = min(best_yuv, time.time() - t0)
+    results["uhd_e2e_yuv420_s"] = round(best_yuv, 2)
+    log(f"UHD end-to-end (yuv420 transport): {best_yuv:.2f}s = "
+        f"{mpix / best_yuv:.2f} MPix/s")
+
     # 2K config (BASELINE.md secondary config), same engine
     c2, s2 = load_pair(2048, 1024, 1024, 1024)
     t0 = time.time()

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stream in row slabs of N rows (single-chip UHD)")
     ap.add_argument("--packed", action="store_true",
                     help="width-packed lane-dense conv pipeline")
+    ap.add_argument("--transport", default="rgb", choices=["rgb", "yuv420"],
+                    help="host<->device image transport; yuv420 moves "
+                         "JPEG-native 4:2:0 planes (half the link bytes)")
     ap.add_argument("--profile", type=str, default="",
                     help="write a jax.profiler trace to this dir")
     return ap
@@ -84,7 +87,8 @@ def main(argv=None) -> int:
     engine = WCTEngine(
         mode=args.mode, weights_root=args.weights_root or None,
         method=args.method, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        space=args.space, slab_rows=args.slab_rows, packed=args.packed)
+        space=args.space, slab_rows=args.slab_rows, packed=args.packed,
+        transport=args.transport)
     tp = Throughput()
     total_t = 0.0
     profile_ctx = trace(args.profile)

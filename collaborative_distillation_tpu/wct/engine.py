@@ -26,7 +26,13 @@ import numpy as np
 from ..models.vgg import apply_decoder, apply_decoder_pwct, apply_encoder
 from ..models.zoo import load_pyramid
 from ..ops.wct_transform import feature_stats, wct_transform
+from ..utils.colorspace import rgbf_to_yuv420_device, yuv420_to_rgbf_device
 from ..utils.transfer import fetch
+
+# module-level jit singletons (a fresh jax.jit wrapper per call would
+# recompile every time)
+_yuv420_to_rgbf = jax.jit(yuv420_to_rgbf_device)
+_rgbf_to_yuv420 = jax.jit(rgbf_to_yuv420_device)
 
 __all__ = ["WCTEngine", "stylize_cascade_fn"]
 
@@ -133,9 +139,16 @@ class WCTEngine:
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
                  slab_rows: int = 0, packed: bool | None = None, fused: bool = True,
-                 pyramid=None):
+                 pyramid=None, transport: str = "rgb"):
+        if transport not in ("rgb", "yuv420"):
+            raise ValueError(f"transport must be 'rgb' or 'yuv420', got {transport!r}")
         self.mode = mode
         self.method = method
+        # host<->device transport for uint8 images: "yuv420" moves JPEG-native
+        # YCbCr 4:2:0 planes (1.5 B/px, half the link traffic of RGB; the
+        # endpoints are JPEGs, already 4:2:0, so the end artifact is
+        # unchanged up to chroma-box rounding). RGB stays the default.
+        self.transport = transport
         self.newton_iters = newton_iters
         self.dtype = dtype
         self.stages = tuple(stages)
@@ -244,22 +257,47 @@ class WCTEngine:
 
     # -- the three pipeline phases: upload/convert/pad -> cascade -> fetch --
 
-    def _to_device(self, content: np.ndarray, style: np.ndarray):
+    def _to_device(self, content: np.ndarray, style: np.ndarray,
+                   transport: str | None = None):
+        transport = transport or self.transport
         squeeze = content.ndim == 3
         if squeeze:
             content = content[None]
         if style.ndim == 3:
             style = style[None]
-        img = jnp.asarray(content)
+        orig = (content.shape[1], content.shape[2])
+        if (transport == "yuv420" and isinstance(content, np.ndarray)
+                and content.dtype == np.uint8):
+            # JPEG-native 4:2:0 planes across the link (1.5 B/px); the style
+            # is small and stays RGB
+            from ..utils.colorspace import rgb_to_yuv420_host
+            ph, pw = (-orig[0]) % 2, (-orig[1]) % 2
+            if ph or pw:
+                content = np.pad(content, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="edge")
+            y, cbcr = rgb_to_yuv420_host(content)
+            img = _yuv420_to_rgbf(jnp.asarray(y), jnp.asarray(cbcr))
+        else:
+            img = jnp.asarray(content)
+            img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img)
+        img = img.astype(self.dtype)
         sty = jnp.asarray(style)
-        img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img).astype(self.dtype)
         sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
         mult_h = 16 * self.space if self.space else 16
-        img, orig_hw = _pad_to_multiple(img, mult_h, 16)
+        img, _ = _pad_to_multiple(img, mult_h, 16)
         sty, _ = _pad_to_multiple(sty, mult_h, 16)
-        return img, sty, squeeze, orig_hw
+        return img, sty, squeeze, orig
 
-    def _from_device(self, img, orig_hw, squeeze: bool, as_uint8: bool) -> np.ndarray:
+    def _from_device(self, img, orig_hw, squeeze: bool, as_uint8: bool,
+                     transport: str | None = None) -> np.ndarray:
+        transport = transport or self.transport
+        if (transport == "yuv420" and as_uint8
+                and not isinstance(img, np.ndarray)):
+            # fetch 4:2:0 planes from the (even-dim, padded) device image,
+            # reassemble RGB on the host, then crop
+            from ..utils.colorspace import yuv420_to_rgb_host
+            y, cbcr = _rgbf_to_yuv420(img)
+            img = yuv420_to_rgb_host(fetch(y), fetch(cbcr))
         img = img[:, : orig_hw[0], : orig_hw[1], :]
         if not isinstance(img, np.ndarray):  # np = already streamed as uint8
             if as_uint8:
@@ -270,19 +308,21 @@ class WCTEngine:
 
     def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
                 *, num_run: int = 1, style_key=None, as_uint8: bool = False,
-                pwct: bool = False) -> np.ndarray:
+                pwct: bool = False, transport: str | None = None) -> np.ndarray:
         """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3),
         float in [0, 1] or uint8 in [0, 255]; returns the same rank, clipped.
 
         uint8 inputs/outputs are converted on-device: only 3 bytes/pixel cross
         the host<->device link, which matters at UHD scale (the device cascade
-        is ~3 s for 42 MPix; an f32 image is 0.5 GB of transfer).
+        is ~2 s for 42 MPix; an f32 image is 0.5 GB of transfer).
+        ``transport="yuv420"`` halves that again by moving JPEG-native 4:2:0
+        planes (uint8 path only; overrides the engine default per call).
         """
-        img, sty, squeeze, orig_hw = self._to_device(content, style)
+        img, sty, squeeze, orig_hw = self._to_device(content, style, transport)
         img = self._run_device(img, sty, alpha, num_run=num_run,
                                style_key=style_key, as_uint8=as_uint8,
                                pwct=pwct, orig_hw=orig_hw)
-        return self._from_device(img, orig_hw, squeeze, as_uint8)
+        return self._from_device(img, orig_hw, squeeze, as_uint8, transport)
 
     def stylize_pairs(self, pairs, alpha: float = 1.0, *, num_run: int = 1,
                       style_keys=None, as_uint8: bool = True):

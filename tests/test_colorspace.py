@@ -1,0 +1,102 @@
+"""YUV 4:2:0 transport: roundtrip fidelity + engine integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from collaborative_distillation_tpu.utils.colorspace import (
+    rgb_to_yuv420_host,
+    rgbf_to_yuv420_device,
+    yuv420_to_rgb_host,
+    yuv420_to_rgbf_device,
+)
+
+
+def _smooth_rgb(rng, h, w):
+    small = rng.random((h // 8, w // 8, 3))
+    up = small.repeat(8, axis=0).repeat(8, axis=1)
+    return (up * 255).astype(np.uint8)[None]
+
+
+def test_host_roundtrip_high_psnr(rng):
+    x = _smooth_rgb(rng, 64, 96)
+    back = yuv420_to_rgb_host(*rgb_to_yuv420_host(x))
+    mse = np.mean((back.astype(np.float64) - x.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 38.0, psnr
+
+
+def test_device_converters_match_host(rng):
+    x = _smooth_rgb(rng, 32, 48)
+    y, c = rgb_to_yuv420_host(x)
+    rgbf = np.asarray(yuv420_to_rgbf_device(jnp.asarray(y), jnp.asarray(c)))
+    ref = yuv420_to_rgb_host(y, c).astype(np.float32) / 255.0
+    np.testing.assert_allclose(rgbf, ref, atol=2 / 255)
+    y2, c2 = (np.asarray(a) for a in rgbf_to_yuv420_device(jnp.asarray(rgbf)))
+    yr, cr = rgb_to_yuv420_host((np.clip(rgbf, 0, 1) * 255 + 0.5).astype(np.uint8))
+    assert np.abs(y2.astype(int) - yr.astype(int)).max() <= 2
+    assert np.abs(c2.astype(int) - cr.astype(int)).max() <= 2
+
+
+def test_gray_image_is_chroma_invariant(rng):
+    g = (rng.random((1, 32, 32, 1)) * 255).astype(np.uint8).repeat(3, axis=-1)
+    back = yuv420_to_rgb_host(*rgb_to_yuv420_host(g))
+    assert np.abs(back.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_engine_yuv_transport_close_to_rgb(rng):
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    key = jax.random.key(9)
+    stages = (1,)
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    k1, k2 = jax.random.split(key)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}}
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=stages)
+    c = _smooth_rgb(rng, 48, 64)[0]
+    s = _smooth_rgb(rng, 32, 32)[0]
+    # precise contract: yuv transport == rgb transport applied to the
+    # chroma-roundtripped input, up to the OUTPUT-side 4:2:0 roundtrip
+    c_rt = yuv420_to_rgb_host(*rgb_to_yuv420_host(c[None]))[0]
+    ref = eng.stylize(c_rt, s, alpha=0.7, as_uint8=True)
+    out_yuv = eng.stylize(c, s, alpha=0.7, as_uint8=True, transport="yuv420")
+    assert out_yuv.shape == ref.shape == c.shape
+    ref_rt = yuv420_to_rgb_host(*rgb_to_yuv420_host(ref[None]))[0]
+    diff = np.abs(out_yuv.astype(int) - ref_rt.astype(int))
+    assert diff.mean() < 1.5, diff.mean()
+    # and the overall result stays visually equivalent to pure-RGB transport
+    out_rgb = eng.stylize(c, s, alpha=0.7, as_uint8=True)
+    mse = np.mean((out_yuv.astype(np.float64) - out_rgb.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 30.0, psnr
+
+
+def test_engine_yuv_transport_odd_size(rng):
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    key = jax.random.key(9)
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    k1, k2 = jax.random.split(key)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}}
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(1,), transport="yuv420")
+    c = _smooth_rgb(rng, 48, 64)[0][:45, :63]  # odd dims
+    s = _smooth_rgb(rng, 32, 32)[0]
+    out = eng.stylize(c, s, alpha=0.5, as_uint8=True)
+    assert out.shape == c.shape
+
+
+def test_bad_transport_rejected():
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    with pytest.raises(ValueError, match="transport"):
+        WCTEngine(mode="16x", pyramid={}, stages=(), transport="cmyk")
