@@ -160,6 +160,9 @@ def main(argv=None) -> int:
     ap.add_argument("--method", default="eigh", choices=["eigh", "newton"])
     ap.add_argument("--slab_rows", type=int, default=0,
                     help="enable slab streaming for large inputs")
+    ap.add_argument("--transport", default="rgb", choices=["rgb", "yuv420"],
+                    help="host<->device transport for images (yuv420 halves "
+                         "link bytes; both endpoints are JPEGs)")
     ap.add_argument("--weights_root", default="")
     args = ap.parse_args(argv)
 
@@ -168,7 +171,8 @@ def main(argv=None) -> int:
 
     log = LogPrinter(None, "serve", to_screen=True)
     engine = WCTEngine(mode=args.mode, weights_root=args.weights_root or None,
-                       method=args.method, slab_rows=args.slab_rows)
+                       method=args.method, slab_rows=args.slab_rows,
+                       transport=args.transport)
     server = ThreadingHTTPServer((args.host, args.port), build_app(engine, log))
     log(f"serving mode={args.mode} on http://{args.host}:{args.port}")
     try:
