@@ -160,7 +160,8 @@ def main(argv=None) -> int:
     ap.add_argument("--method", default="eigh", choices=["eigh", "newton"])
     ap.add_argument("--slab_rows", type=int, default=0,
                     help="enable slab streaming for large inputs")
-    ap.add_argument("--transport", default="rgb", choices=["rgb", "yuv420"],
+    ap.add_argument("--transport", default="auto",
+                    choices=["auto", "rgb", "yuv420"],
                     help="host<->device transport for images (yuv420 halves "
                          "link bytes; both endpoints are JPEGs)")
     ap.add_argument("--weights_root", default="")

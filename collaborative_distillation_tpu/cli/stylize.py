@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stream in row slabs of N rows (single-chip UHD)")
     ap.add_argument("--packed", action="store_true",
                     help="width-packed lane-dense conv pipeline")
-    ap.add_argument("--transport", default="rgb", choices=["rgb", "yuv420"],
+    ap.add_argument("--transport", default="auto",
+                    choices=["auto", "rgb", "yuv420"],
                     help="host<->device image transport; yuv420 moves "
                          "JPEG-native 4:2:0 planes (half the link bytes)")
     ap.add_argument("--profile", type=str, default="",

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from functools import partial
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -402,7 +403,9 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
     assert slab >= 2 * m, (
         f"slab_rows (rounded: {slab}) must be >= 2*margin ({2 * m}) so edge "
         f"slabs share the mid-slab shape")
-    hm = 2 * m  # halo rows: edge slabs extend inward by 2m (see index math)
+    # per-stage margins (and so per-stage halo widths): a shallow stage only
+    # needs ITS OWN enc+dec receptive radius of ghost rows — smaller halos
+    # mean fewer ppermute bytes over ICI and less recompute per slab.
     params = helper.packed_params if packed else {
         k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
     _HIGH = lax.Precision.HIGHEST
@@ -448,7 +451,7 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
         is_first = idx == 0
         is_last = idx == n_space - 1
 
-        def slab_coords(i):
+        def slab_coords(i, m, hm):
             """(ext_start, interior_offset) for local slab i, in the
             halo-extended image's coordinates (ext row 0 = local row -2m).
 
@@ -473,6 +476,8 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
             down = 2 ** (k - 1)
             c = spec_e.out_channels
             interior_f = slab // down
+            mk = helper.margins[k]
+            hm = 2 * mk  # halo rows: edge slabs extend inward by 2m
             # style statistics: style replicated; identical on every shard
             s_feats, sf = _encode(p[k]["enc"], style, spec_e)
             if packed:
@@ -487,11 +492,12 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
 
             ext = _exchange_row_halos(img, hm, "space")
             rows = slab + hm
+            coords = partial(slab_coords, m=mk, hm=hm)
 
             def stat_body(carry, i, _ext=ext, _pk=p[k]["enc"], _spec=spec_e,
                           _down=down, _interior=interior_f, _c=c):
                 s1, s2, cnt = carry
-                start, off = slab_coords(i)
+                start, off = coords(i)
                 sl = lax.dynamic_slice_in_dim(_ext, start, rows, axis=1)
                 feats, f = _encode(_pk, sl, _spec)
                 a, b, n_px = _stats_from(feats, f, _c, off // _down, _interior)
@@ -517,7 +523,7 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
             def apply_body(out_img, i, _ext=ext, _ek=p[k]["enc"], _dk=p[k]["dec"],
                            _spec=spec_e, _spec_d=spec_d, _t=t, _cm=c_mean,
                            _sm=s_mean):
-                start, off = slab_coords(i)
+                start, off = coords(i)
                 sl = lax.dynamic_slice_in_dim(_ext, start, rows, axis=1)
                 feats, f = _encode(_ek, sl, _spec)
                 dec = _color_decode(feats, f, _dk, _spec_d, _t, _cm, _sm,

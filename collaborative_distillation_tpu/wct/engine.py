@@ -53,6 +53,11 @@ except ImportError:  # pragma: no cover
 # are small (C<=512: <= 1 MB each), but a long-lived server registering
 # styles forever must not grow device memory without bound.
 STYLE_CACHE_MAX = int(__import__("os").environ.get("CD_TPU_STYLE_CACHE", "64"))
+# transport="auto": uint8 images at or above this many pixels ride the link
+# as YCbCr 4:2:0 planes (1.5 B/px). Below it, the per-shape compile of the
+# device converters and the host conversion outweigh the link savings.
+_YUV_AUTO_PIX = int(__import__("os").environ.get("CD_TPU_YUV_AUTO_PIX",
+                                                 str(8 * 1024 * 1024)))
 
 
 def _pad_to_multiple(x: jax.Array, mult_h: int = 16,
@@ -139,15 +144,19 @@ class WCTEngine:
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
                  slab_rows: int = 0, packed: bool | None = None, fused: bool = True,
-                 pyramid=None, transport: str = "rgb"):
-        if transport not in ("rgb", "yuv420"):
-            raise ValueError(f"transport must be 'rgb' or 'yuv420', got {transport!r}")
+                 pyramid=None, transport: str = "auto"):
+        if transport not in ("auto", "rgb", "yuv420"):
+            raise ValueError(
+                f"transport must be 'auto', 'rgb' or 'yuv420', got {transport!r}")
         self.mode = mode
         self.method = method
         # host<->device transport for uint8 images: "yuv420" moves JPEG-native
         # YCbCr 4:2:0 planes (1.5 B/px, half the link traffic of RGB; the
         # endpoints are JPEGs, already 4:2:0, so the end artifact is
-        # unchanged up to chroma-box rounding). RGB stays the default.
+        # unchanged up to chroma-box rounding; conversions run in the native
+        # codec at ~30 ms/MPix). "auto" (default) picks yuv420 for uint8
+        # images >= _YUV_AUTO_MPIX megapixels — where the link savings dwarf
+        # the conversion cost — and rgb below that (and always for float I/O).
         self.transport = transport
         self.newton_iters = newton_iters
         self.dtype = dtype
@@ -260,6 +269,10 @@ class WCTEngine:
     def _to_device(self, content: np.ndarray, style: np.ndarray,
                    transport: str | None = None):
         transport = transport or self.transport
+        if transport == "auto":
+            big = (isinstance(content, np.ndarray) and content.dtype == np.uint8
+                   and content.shape[-3] * content.shape[-2] >= _YUV_AUTO_PIX)
+            transport = "yuv420" if big else "rgb"
         squeeze = content.ndim == 3
         if squeeze:
             content = content[None]
@@ -291,6 +304,10 @@ class WCTEngine:
     def _from_device(self, img, orig_hw, squeeze: bool, as_uint8: bool,
                      transport: str | None = None) -> np.ndarray:
         transport = transport or self.transport
+        if transport == "auto":
+            big = (as_uint8 and not isinstance(img, np.ndarray)
+                   and img.shape[1] * img.shape[2] >= _YUV_AUTO_PIX)
+            transport = "yuv420" if big else "rgb"
         if (transport == "yuv420" and as_uint8
                 and not isinstance(img, np.ndarray)):
             # fetch 4:2:0 planes from the (even-dim, padded) device image,
@@ -317,6 +334,10 @@ class WCTEngine:
         is ~2 s for 42 MPix; an f32 image is 0.5 GB of transfer).
         ``transport="yuv420"`` halves that again by moving JPEG-native 4:2:0
         planes (uint8 path only; overrides the engine default per call).
+        The default ("auto") does this automatically for uint8 images >=
+        8 MPix — the pipeline endpoints are JPEGs, themselves 4:2:0, so the
+        saved artifact only changes by chroma-box rounding; pass
+        ``transport="rgb"`` for bit-exact RGB transport.
         """
         img, sty, squeeze, orig_hw = self._to_device(content, style, transport)
         img = self._run_device(img, sty, alpha, num_run=num_run,

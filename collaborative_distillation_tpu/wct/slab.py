@@ -166,10 +166,16 @@ class SlabCascade:
         self.newton_iters = newton_iters
         self.eps = eps
         self.down_max = 2 ** (max(stages) - 1)
-        radius = max(
-            receptive_radius(pyramid[k]["enc_spec"]) + receptive_radius(pyramid[k]["dec_spec"])
-            for k in stages)
-        self.margin = -(-radius // self.down_max) * self.down_max  # round up
+        # Per-stage margins: each stage only needs ITS OWN enc+dec receptive
+        # radius of ghost rows (144/64/32/16/16 for the 16x pyramid) — using
+        # the deepest stage's margin everywhere would re-encode ~13% extra
+        # rows at the shallow stages for nothing.
+        self.margins = {
+            k: -(-(receptive_radius(pyramid[k]["enc_spec"])
+                   + receptive_radius(pyramid[k]["dec_spec"]))
+                 // self.down_max) * self.down_max
+            for k in stages}
+        self.margin = max(self.margins.values())
         self.slab_rows = -(-slab_rows // self.down_max) * self.down_max
         self._stats_fns = {}
         self._apply_fns = {}
@@ -250,7 +256,7 @@ class SlabCascade:
 
     # ---- driver ----
 
-    def _slabs(self, h: int):
+    def _slabs(self, h: int, stage: int | None = None):
         """Yield (input_start, input_rows, interior_offset) per slab.
 
         Edge slabs start/end at the true image boundary, so the per-conv
@@ -258,8 +264,11 @@ class SlabCascade:
         semantics; mid slabs carry a margin on both sides. Contamination from
         the arithmetically-wrong reflection at interior slab-array edges dies
         within the receptive radius and is cropped by the interior offset.
+
+        ``stage``: use that stage's own (smaller) margin; None = the max.
         """
-        slab, m = self.slab_rows, self.margin
+        slab = self.slab_rows
+        m = self.margins[stage] if stage is not None else self.margin
         n_slabs = h // slab
         if n_slabs == 1:
             yield 0, h, 0
@@ -306,7 +315,7 @@ class SlabCascade:
             s1 = s2 = None
             count = 0
             stats = self._stats_fn(k)
-            for start, rows, off in self._slabs(hp):
+            for start, rows, off in self._slabs(hp, k):
                 r = stats(enc_in,
                           lax.dynamic_slice_in_dim(img, start, rows, axis=1),
                           jnp.int32(off // down))
@@ -331,7 +340,7 @@ class SlabCascade:
                 from ..utils.transfer import fetch
                 host: list[np.ndarray] = []
                 pending = None
-                for start, rows, off in self._slabs(hp):
+                for start, rows, off in self._slabs(hp, k):
                     cur = u8(apply(enc_in, dec_in,
                                    lax.dynamic_slice_in_dim(img, start, rows, axis=1),
                                    jnp.int32(off), t, c_mean, s_mean, alpha))
@@ -342,7 +351,7 @@ class SlabCascade:
                 host.append(fetch(pending))
                 return np.concatenate(host, axis=1)[:, :h]
             outs = []
-            for start, rows, off in self._slabs(hp):
+            for start, rows, off in self._slabs(hp, k):
                 outs.append(apply(enc_in, dec_in,
                                   lax.dynamic_slice_in_dim(img, start, rows, axis=1),
                                   jnp.int32(off), t, c_mean, s_mean, alpha))
@@ -425,10 +434,11 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     def fn(p, img, style, alpha):
         h = img.shape[1]
         n_slabs = h // slab
-        starts = jnp.asarray([s for s, _, _ in helper._slabs(h)], jnp.int32)
-        offs = jnp.asarray([o for _, _, o in helper._slabs(h)], jnp.int32)
-        rows = slab + (2 * m if n_slabs > 1 else 0)
         for k in stages:
+            mk = helper.margins[k]  # per-stage ghost rows (144..16)
+            starts = jnp.asarray([s for s, _, _ in helper._slabs(h, k)], jnp.int32)
+            offs = jnp.asarray([o for _, _, o in helper._slabs(h, k)], jnp.int32)
+            rows = slab + (2 * mk if n_slabs > 1 else 0)
             spec_e = pyramid[k]["enc_spec"]
             spec_d = pyramid[k]["dec_spec"]
             down = 2 ** (k - 1)

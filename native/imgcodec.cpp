@@ -148,6 +148,95 @@ long cd_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
   return written;
 }
 
+// ---- JPEG-native YCbCr 4:2:0 <-> RGB conversion (fixed point) ----
+//
+// The stylization pipeline moves images across a slow host<->device relay;
+// 4:2:0 planes are 1.5 B/px vs RGB's 3 B/px. The numpy mirrors of these
+// conversions (utils/colorspace.py) walk 42 MPix UHD images through several
+// 500 MB float temporaries and take ~20 s on this container's single CPU
+// core; these integer loops do the same math (JFIF full-range BT.601, the
+// libjpeg matrices) in a few hundred ms, matching numpy within +-1 LSB.
+// Q16 fixed point; +0.5 rounding matches numpy's clip(x + 0.5).astype(u8).
+
+namespace {
+inline uint8_t clamp_u8(long v) {
+  return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+}  // namespace
+
+// rgb: (h, w, 3) u8 with even h, w -> y: (h, w) u8, cbcr: (h/2, w/2, 2) u8
+// (2x2 box-filtered chroma, JPEG-style).
+int cd_rgb_to_yuv420(const uint8_t* rgb, int h, int w,
+                     uint8_t* y, uint8_t* cbcr) {
+  if (h <= 0 || w <= 0 || (h & 1) || (w & 1)) return -1;
+  const long KYR = 19595, KYG = 38470, KYB = 7471;        // 0.299/0.587/0.114
+  const long KBR = -11059, KBG = -21709, KBB = 32768;     // cb row
+  const long KRR = 32768, KRG = -27439, KRB = -5329;      // cr row
+  const long HALF = 1L << 15, OFF = 128L << 16;
+  const int w2 = w / 2;
+  for (int yy = 0; yy < h; yy += 2) {
+    const uint8_t* r0 = rgb + static_cast<long>(yy) * w * 3;
+    const uint8_t* r1 = r0 + static_cast<long>(w) * 3;
+    uint8_t* y0 = y + static_cast<long>(yy) * w;
+    uint8_t* y1 = y0 + w;
+    uint8_t* cc = cbcr + static_cast<long>(yy / 2) * w2 * 2;
+    for (int xx = 0; xx < w; xx += 2) {
+      long cb_sum = 0, cr_sum = 0;
+      const uint8_t* px[4] = {r0 + xx * 3, r0 + xx * 3 + 3,
+                              r1 + xx * 3, r1 + xx * 3 + 3};
+      uint8_t* yo[4] = {y0 + xx, y0 + xx + 1, y1 + xx, y1 + xx + 1};
+      for (int k = 0; k < 4; ++k) {
+        const long r = px[k][0], g = px[k][1], b = px[k][2];
+        *yo[k] = clamp_u8((KYR * r + KYG * g + KYB * b + HALF) >> 16);
+        cb_sum += KBR * r + KBG * g + KBB * b + OFF;
+        cr_sum += KRR * r + KRG * g + KRB * b + OFF;
+      }
+      // mean of 4 Q16 values, +0.5: (sum + 2*65536) / (4*65536)
+      uint8_t* o = cc + xx;  // xx/2*2 == xx for even xx
+      o[0] = clamp_u8((cb_sum + (2L << 16)) >> 18);
+      o[1] = clamp_u8((cr_sum + (2L << 16)) >> 18);
+    }
+  }
+  return 0;
+}
+
+// y: (h, w) u8, cbcr: (h/2, w/2, 2) u8 -> rgb: (h, w, 3) u8
+// (nearest chroma upsample; inverse of cd_rgb_to_yuv420).
+int cd_yuv420_to_rgb(const uint8_t* y, const uint8_t* cbcr, int h, int w,
+                     uint8_t* rgb) {
+  if (h <= 0 || w <= 0 || (h & 1) || (w & 1)) return -1;
+  const long KCR_R = 91881;                  // 1.402
+  const long KCB_G = -22554, KCR_G = -46802; // -0.344136 / -0.714136
+  const long KCB_B = 116130;                 // 1.772
+  const long HALF = 1L << 15;
+  const int w2 = w / 2;
+  for (int yy = 0; yy < h; yy += 2) {
+    const uint8_t* y0 = y + static_cast<long>(yy) * w;
+    const uint8_t* y1 = y0 + w;
+    const uint8_t* crow = cbcr + static_cast<long>(yy / 2) * w2 * 2;
+    uint8_t* o0 = rgb + static_cast<long>(yy) * w * 3;
+    uint8_t* o1 = o0 + static_cast<long>(w) * 3;
+    for (int xx = 0; xx < w; xx += 2) {
+      // chroma terms shared by the 2x2 block (nearest upsample)
+      const long cb = static_cast<long>(crow[xx]) - 128;      // xx == (xx/2)*2
+      const long cr = static_cast<long>(crow[xx + 1]) - 128;
+      const long tr = KCR_R * cr + HALF;
+      const long tg = KCB_G * cb + KCR_G * cr + HALF;
+      const long tb = KCB_B * cb + HALF;
+      const uint8_t* ys[4] = {y0 + xx, y0 + xx + 1, y1 + xx, y1 + xx + 1};
+      uint8_t* os[4] = {o0 + xx * 3, o0 + xx * 3 + 3,
+                        o1 + xx * 3, o1 + xx * 3 + 3};
+      for (int k = 0; k < 4; ++k) {
+        const long yv = static_cast<long>(*ys[k]) << 16;
+        os[k][0] = clamp_u8((yv + tr) >> 16);
+        os[k][1] = clamp_u8((yv + tg) >> 16);
+        os[k][2] = clamp_u8((yv + tb) >> 16);
+      }
+    }
+  }
+  return 0;
+}
+
 // Box-filter resize RGB8 (for the shorter-side resize after DCT scaling).
 int cd_resize_rgb(const uint8_t* src, int sw, int sh,
                   uint8_t* dst, int dw, int dh) {

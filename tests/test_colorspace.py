@@ -100,3 +100,78 @@ def test_bad_transport_rejected():
 
     with pytest.raises(ValueError, match="transport"):
         WCTEngine(mode="16x", pyramid={}, stages=(), transport="cmyk")
+
+
+# ---- native fixed-point conversion (native/imgcodec.cpp) ----
+
+def _numpy_only(monkeypatch):
+    """Force the host converters onto their pure-numpy bodies."""
+    from collaborative_distillation_tpu.data import native_codec
+    monkeypatch.setattr(native_codec, "rgb_to_yuv420", lambda *_: None)
+    monkeypatch.setattr(native_codec, "yuv420_to_rgb", lambda *_: None)
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (130, 62), (2, 2)])
+def test_native_matches_numpy_within_1lsb(rng, monkeypatch, shape):
+    from collaborative_distillation_tpu.data import native_codec
+    if not native_codec.available():
+        pytest.skip("native codec unavailable")
+    x = (rng.random((1, *shape, 3)) * 255).astype(np.uint8)
+    y_nat, c_nat = rgb_to_yuv420_host(x)
+    with monkeypatch.context() as m:
+        _numpy_only(m)
+        y_np, c_np = rgb_to_yuv420_host(x)
+        rgb_np = yuv420_to_rgb_host(y_nat, c_nat)
+    assert np.abs(y_nat.astype(int) - y_np.astype(int)).max() <= 1
+    assert np.abs(c_nat.astype(int) - c_np.astype(int)).max() <= 1
+    rgb_nat = yuv420_to_rgb_host(y_nat, c_nat)
+    assert np.abs(rgb_nat.astype(int) - rgb_np.astype(int)).max() <= 1
+
+
+def test_native_batched_matches_per_image(rng):
+    from collaborative_distillation_tpu.data import native_codec
+    if not native_codec.available():
+        pytest.skip("native codec unavailable")
+    x = (rng.random((3, 16, 24, 3)) * 255).astype(np.uint8)
+    y, c = rgb_to_yuv420_host(x)
+    assert y.shape == (3, 16, 24) and c.shape == (3, 8, 12, 2)
+    for i in range(3):
+        yi, ci = rgb_to_yuv420_host(x[i][None])
+        np.testing.assert_array_equal(y[i], yi[0])
+        np.testing.assert_array_equal(c[i], ci[0])
+    back = yuv420_to_rgb_host(y, c)
+    assert back.shape == x.shape
+
+
+def test_auto_transport_picks_by_size(rng, monkeypatch):
+    """transport='auto' (the default): small uint8 images ride RGB, images
+    past the threshold ride 4:2:0 — outputs match the explicit transports."""
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct import engine as eng_mod
+
+    key = jax.random.key(9)
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    k1, k2 = jax.random.split(key)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}}
+    eng = eng_mod.WCTEngine(mode="16x", pyramid=pyramid, stages=(1,))
+    assert eng.transport == "auto"
+    c = _smooth_rgb(rng, 48, 64)[0]
+    s = _smooth_rgb(rng, 32, 32)[0]
+    # below threshold: auto == rgb exactly
+    out_auto = eng.stylize(c, s, alpha=0.5, as_uint8=True)
+    out_rgb = eng.stylize(c, s, alpha=0.5, as_uint8=True, transport="rgb")
+    np.testing.assert_array_equal(out_auto, out_rgb)
+    # force the threshold below this image: auto == yuv420 exactly
+    monkeypatch.setattr(eng_mod, "_YUV_AUTO_PIX", 48 * 64)
+    out_auto2 = eng.stylize(c, s, alpha=0.5, as_uint8=True)
+    out_yuv = eng.stylize(c, s, alpha=0.5, as_uint8=True, transport="yuv420")
+    np.testing.assert_array_equal(out_auto2, out_yuv)
+    # float I/O never auto-selects yuv420 (bit-exactness contract)
+    cf = c.astype(np.float32) / 255.0
+    sf = s.astype(np.float32) / 255.0
+    out_f = eng.stylize(cf, sf, alpha=0.5)
+    out_f_rgb = eng.stylize(cf, sf, alpha=0.5, transport="rgb")
+    np.testing.assert_array_equal(out_f, out_f_rgb)
