@@ -128,15 +128,35 @@ def build_app(engine, log, *, max_styles: int = 256):
                         return self._json(400, {
                             "error": f"unknown style {name!r}; register via POST /style/<name>",
                             "styles": known})
+                    data = self._read_body()
+                    # JPEG-native fast path: ordinary photo JPEGs are YCbCr
+                    # 4:2:0 internally — read the planes straight out, let
+                    # the device do all pixel math, entropy-encode the
+                    # stylized planes back. Zero host color conversion.
+                    from ..data.native_codec import (
+                        decode_jpeg_yuv420,
+                        encode_jpeg,
+                        encode_jpeg_yuv420,
+                    )
+                    if hasattr(engine, "stylize_planes"):
+                        planes = decode_jpeg_yuv420(data)
+                    else:  # pragma: no cover — non-engine test doubles
+                        planes = None
+                    if planes is not None:
+                        with lock:
+                            yo, co = engine.stylize_planes(
+                                *planes, style_arr, alpha=alpha, style_key=name)
+                        body = encode_jpeg_yuv420(yo, co, quality=95)
+                        if body is not None:
+                            return self._send(200, body, "image/jpeg")
+                    # fallback: PNG/other-sampling inputs, or no native codec
                     content = np.asarray(
-                        Image.open(io.BytesIO(self._read_body())).convert("RGB"),
-                        np.uint8)
+                        Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
                     with lock:
                         out = engine.stylize(content, style_arr, alpha=alpha,
                                              style_key=name, as_uint8=True)
                     # native libjpeg encode (GIL released -> concurrent
                     # encodes across server threads); PIL fallback
-                    from ..data.native_codec import encode_jpeg
                     body = encode_jpeg(out, quality=95)
                     if body is None:
                         buf = io.BytesIO()

@@ -18,6 +18,7 @@ import threading
 import numpy as np
 
 __all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg",
+           "decode_jpeg_yuv420", "encode_jpeg_yuv420",
            "rgb_to_yuv420", "yuv420_to_rgb"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,6 +62,13 @@ def _load():
             lib.cd_yuv420_to_rgb.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p]
+            lib.cd_jpeg_decode_yuv420.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.cd_jpeg_encode_yuv420.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+            lib.cd_jpeg_encode_yuv420.restype = ctypes.c_long
             _lib = lib
         except Exception:
             _failed = True
@@ -110,6 +118,62 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes | None:
         out = np.empty(cap, np.uint8)
         n = lib.cd_jpeg_encode(arr.ctypes.data_as(ctypes.c_void_p), w, h,
                                quality, out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
+
+
+def decode_jpeg_yuv420(data: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+    """JPEG bytes -> (Y (H,W) u8, CbCr (H/2,W/2,2) u8) with NO color
+    conversion anywhere: ordinary photo JPEGs already store YCbCr 4:2:0, so
+    this reads the planes straight out (jpeg_read_raw_data). Returns None
+    when unavailable or the file is not even-dimensioned baseline 4:2:0 —
+    callers fall back to decode_jpeg + rgb_to_yuv420 (or plain RGB)."""
+    lib = _load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.cd_jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    if w.value % 2 or h.value % 2:
+        return None
+    y = np.empty((h.value, w.value), np.uint8)
+    cbcr = np.empty((h.value // 2, w.value // 2, 2), np.uint8)
+    if lib.cd_jpeg_decode_yuv420(data, len(data),
+                                 y.ctypes.data_as(ctypes.c_void_p),
+                                 cbcr.ctypes.data_as(ctypes.c_void_p),
+                                 w.value, h.value) != 0:
+        return None
+    return y, cbcr
+
+
+def encode_jpeg_yuv420(y: np.ndarray, cbcr: np.ndarray,
+                       quality: int = 95) -> bytes | None:
+    """(Y, CbCr) 4:2:0 planes -> JPEG bytes via jpeg_write_raw_data (no
+    color conversion; the planes are what the file stores)."""
+    lib = _load()
+    if lib is None or y.dtype != np.uint8 or cbcr.dtype != np.uint8:
+        return None
+    if y.ndim != 2:
+        return None
+    h, w = y.shape
+    if h % 2 or w % 2 or cbcr.shape != (h // 2, w // 2, 2):
+        return None
+    y = np.ascontiguousarray(y)
+    cbcr = np.ascontiguousarray(cbcr)
+    cap = w * h * 3 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.cd_jpeg_encode_yuv420(y.ctypes.data_as(ctypes.c_void_p),
+                                  cbcr.ctypes.data_as(ctypes.c_void_p),
+                                  w, h, quality,
+                                  out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n == -2:
+        cap *= 2
+        out = np.empty(cap, np.uint8)
+        n = lib.cd_jpeg_encode_yuv420(y.ctypes.data_as(ctypes.c_void_p),
+                                      cbcr.ctypes.data_as(ctypes.c_void_p),
+                                      w, h, quality,
+                                      out.ctypes.data_as(ctypes.c_void_p), cap)
     if n <= 0:
         return None
     return out[:n].tobytes()

@@ -345,6 +345,36 @@ class WCTEngine:
                                pwct=pwct, orig_hw=orig_hw)
         return self._from_device(img, orig_hw, squeeze, as_uint8, transport)
 
+    def stylize_planes(self, y: np.ndarray, cbcr: np.ndarray, style,
+                       alpha: float = 1.0, *, num_run: int = 1,
+                       style_key=None) -> tuple[np.ndarray, np.ndarray]:
+        """JPEG-native endpoint: content given as YCbCr 4:2:0 planes
+        (Y (H, W) u8, CbCr (H/2, W/2, 2) u8 — exactly what
+        ``native_codec.decode_jpeg_yuv420`` reads straight out of a JPEG
+        file), stylized planes returned (feed ``encode_jpeg_yuv420``).
+
+        End to end the host performs NO pixel math: libjpeg entropy-decodes
+        to planes, the device converts/stylizes/converts, libjpeg
+        entropy-encodes the result. H and W must be even.
+        """
+        assert y.ndim == 2 and y.shape[0] % 2 == 0 and y.shape[1] % 2 == 0, y.shape
+        orig_hw = y.shape
+        img = _yuv420_to_rgbf(jnp.asarray(y[None]), jnp.asarray(cbcr[None]))
+        img = img.astype(self.dtype)
+        sty = jnp.asarray(style)
+        if sty.ndim == 3:
+            sty = sty[None]
+        sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
+        mult_h = 16 * self.space if self.space else 16
+        img, _ = _pad_to_multiple(img, mult_h, 16)
+        sty, _ = _pad_to_multiple(sty, mult_h, 16)
+        out = self._run_device(img, sty, alpha, num_run=num_run,
+                               style_key=style_key, as_uint8=False,
+                               pwct=False, orig_hw=orig_hw)
+        out = out[:, : orig_hw[0], : orig_hw[1], :]
+        yo, co = _rgbf_to_yuv420(out)
+        return fetch(yo)[0], fetch(co)[0]
+
     def stylize_pairs(self, pairs, alpha: float = 1.0, *, num_run: int = 1,
                       style_keys=None, as_uint8: bool = True):
         """Pipelined stylization of many (content, style) pairs.

@@ -148,6 +148,168 @@ long cd_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
   return written;
 }
 
+// ---- Raw-plane JPEG I/O (no color conversion anywhere) ----
+//
+// JPEG's internal representation for ordinary photos IS YCbCr 4:2:0; the
+// stylization pipeline moves exactly those planes across the host<->device
+// link and converts on-device. Decoding to planes (jpeg_read_raw_data) and
+// encoding from planes (jpeg_write_raw_data) therefore skips libjpeg's own
+// color conversion AND the host-side RGB<->YUV pass — the host never touches
+// pixel math for a JPEG-in/JPEG-out stylization.
+
+// Decode a baseline YCbCr 4:2:0 JPEG straight to planes.
+// y: w*h bytes; cbcr: (h/2)*(w/2)*2 interleaved. w and h must be the even
+// full-scale dims from cd_jpeg_dims. Returns 0, or -4 when the file is not
+// plain 4:2:0 (caller falls back to cd_jpeg_decode + cd_rgb_to_yuv420).
+int cd_jpeg_decode_yuv420(const uint8_t* data, long len,
+                          uint8_t* y, uint8_t* cbcr, int w, int h) {
+  if (w <= 0 || h <= 0 || (w & 1) || (h & 1)) return -4;
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  const bool is420 =
+      cinfo.jpeg_color_space == JCS_YCbCr && cinfo.num_components == 3 &&
+      cinfo.comp_info[0].h_samp_factor == 2 &&
+      cinfo.comp_info[0].v_samp_factor == 2 &&
+      cinfo.comp_info[1].h_samp_factor == 1 &&
+      cinfo.comp_info[1].v_samp_factor == 1 &&
+      cinfo.comp_info[2].h_samp_factor == 1 &&
+      cinfo.comp_info[2].v_samp_factor == 1;
+  if (!is420 || static_cast<int>(cinfo.image_width) != w ||
+      static_cast<int>(cinfo.image_height) != h) {
+    jpeg_destroy_decompress(&cinfo);
+    return -4;
+  }
+  cinfo.raw_data_out = TRUE;
+  cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&cinfo);
+  // libjpeg hands back whole iMCU bands (16 Y rows / 8 chroma rows) at the
+  // DCT-block-padded width; stage them in scratch and copy the valid region.
+  const int y_stride = static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
+  const int c_stride = static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
+  const int w2 = w / 2, h2 = h / 2;
+  std::vector<uint8_t> ybuf(static_cast<size_t>(y_stride) * 16);
+  std::vector<uint8_t> cbbuf(static_cast<size_t>(c_stride) * 8);
+  std::vector<uint8_t> crbuf(static_cast<size_t>(c_stride) * 8);
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  for (int i = 0; i < 16; ++i) yrows[i] = ybuf.data() + static_cast<long>(i) * y_stride;
+  for (int i = 0; i < 8; ++i) {
+    cbrows[i] = cbbuf.data() + static_cast<long>(i) * c_stride;
+    crrows[i] = crbuf.data() + static_cast<long>(i) * c_stride;
+  }
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = static_cast<int>(cinfo.output_scanline);
+    if (jpeg_read_raw_data(&cinfo, planes, 16) == 0) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      return -3;
+    }
+    const int ny = h - base < 16 ? h - base : 16;
+    for (int r = 0; r < ny; ++r)
+      std::memcpy(y + static_cast<long>(base + r) * w, yrows[r], w);
+    const int cbase = base / 2;
+    const int nc = h2 - cbase < 8 ? h2 - cbase : 8;
+    for (int r = 0; r < nc; ++r) {
+      uint8_t* o = cbcr + static_cast<long>(cbase + r) * w2 * 2;
+      const uint8_t* pb = cbrows[r];
+      const uint8_t* pr = crrows[r];
+      for (int x = 0; x < w2; ++x) {
+        o[x * 2] = pb[x];
+        o[x * 2 + 1] = pr[x];
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Encode 4:2:0 planes straight to a baseline JPEG (inverse of the decoder;
+// same buffer-too-small contract as cd_jpeg_encode: returns bytes or -2).
+long cd_jpeg_encode_yuv420(const uint8_t* y, const uint8_t* cbcr,
+                           int w, int h, int quality,
+                           uint8_t* out, long out_cap) {
+  if (w <= 0 || h <= 0 || (w & 1) || (h & 1) || quality < 1 || quality > 100)
+    return -1;
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  unsigned char* buf = out;
+  unsigned long buf_len = static_cast<unsigned long>(out_cap);
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);  // YCbCr default sampling is already 2x2,1x1,1x1
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.raw_data_in = TRUE;
+  jpeg_start_compress(&cinfo, TRUE);
+  const int y_stride = static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
+  const int c_stride = static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
+  const int w2 = w / 2, h2 = h / 2;
+  std::vector<uint8_t> ybuf(static_cast<size_t>(y_stride) * 16);
+  std::vector<uint8_t> cbbuf(static_cast<size_t>(c_stride) * 8);
+  std::vector<uint8_t> crbuf(static_cast<size_t>(c_stride) * 8);
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  for (int i = 0; i < 16; ++i) yrows[i] = ybuf.data() + static_cast<long>(i) * y_stride;
+  for (int i = 0; i < 8; ++i) {
+    cbrows[i] = cbbuf.data() + static_cast<long>(i) * c_stride;
+    crrows[i] = crbuf.data() + static_cast<long>(i) * c_stride;
+  }
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const int base = static_cast<int>(cinfo.next_scanline);
+    const int ny = h - base < 16 ? h - base : 16;
+    for (int r = 0; r < 16; ++r) {
+      const int src = base + (r < ny ? r : ny - 1);  // replicate last rows
+      std::memcpy(yrows[r], y + static_cast<long>(src) * w, w);
+      // replicate the last column into the block padding
+      std::memset(yrows[r] + w, yrows[r][w - 1], y_stride - w);
+    }
+    const int cbase = base / 2;
+    const int nc = h2 - cbase < 8 ? h2 - cbase : 8;
+    for (int r = 0; r < 8; ++r) {
+      const int src = cbase + (r < nc ? r : nc - 1);
+      const uint8_t* p = cbcr + static_cast<long>(src) * w2 * 2;
+      for (int x = 0; x < w2; ++x) {
+        cbrows[r][x] = p[x * 2];
+        crrows[r][x] = p[x * 2 + 1];
+      }
+      std::memset(cbrows[r] + w2, cbrows[r][w2 - 1], c_stride - w2);
+      std::memset(crrows[r] + w2, crrows[r][w2 - 1], c_stride - w2);
+    }
+    jpeg_write_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_compress(&cinfo);
+  long written = static_cast<long>(buf_len);
+  bool reallocated = (buf != out);
+  jpeg_destroy_compress(&cinfo);
+  if (reallocated) {
+    free(buf);
+    return -2;
+  }
+  return written;
+}
+
 // ---- JPEG-native YCbCr 4:2:0 <-> RGB conversion (fixed point) ----
 //
 // The stylization pipeline moves images across a slow host<->device relay;

@@ -175,3 +175,28 @@ def test_auto_transport_picks_by_size(rng, monkeypatch):
     out_f = eng.stylize(cf, sf, alpha=0.5)
     out_f_rgb = eng.stylize(cf, sf, alpha=0.5, transport="rgb")
     np.testing.assert_array_equal(out_f, out_f_rgb)
+
+
+def test_engine_stylize_planes_matches_yuv_transport(rng):
+    """stylize_planes (the JPEG-native serving endpoint) == stylize with
+    yuv420 transport, up to the output-side uint8 conversion."""
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    key = jax.random.key(9)
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    k1, k2 = jax.random.split(key)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}}
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(1,))
+    c = _smooth_rgb(rng, 48, 64)[0]
+    s = _smooth_rgb(rng, 32, 32)[0]
+    y, cbcr = rgb_to_yuv420_host(c[None])
+    yo, co = eng.stylize_planes(y[0], cbcr[0], s, alpha=0.7, style_key="p")
+    assert yo.shape == y[0].shape and co.shape == cbcr[0].shape
+    ref = eng.stylize(c, s, alpha=0.7, as_uint8=True, transport="yuv420")
+    out = yuv420_to_rgb_host(yo[None], co[None])[0]
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.mean() < 2.0, d.mean()

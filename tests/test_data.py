@@ -197,3 +197,59 @@ def test_native_encode_jpeg_rejects_bad_input():
         pytest.skip("native codec unavailable")
     assert nc.encode_jpeg(np.zeros((4, 4), np.uint8)) is None
     assert nc.encode_jpeg(np.zeros((4, 4, 3), np.float32)) is None
+
+
+def test_native_raw_plane_jpeg_roundtrip(rng):
+    """decode_jpeg_yuv420 reads the 4:2:0 planes a JPEG actually stores (no
+    color conversion anywhere); encode_jpeg_yuv420 writes them back."""
+    import io
+
+    from PIL import Image
+
+    from collaborative_distillation_tpu.data import native_codec as nc
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    small = rng.random((16, 20, 3))
+    img = (np.kron(small, np.ones((8, 8, 1))) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    planes = nc.decode_jpeg_yuv420(buf.getvalue())
+    assert planes is not None, "PIL q95 writes baseline 4:2:0"
+    y, cbcr = planes
+    assert y.shape == img.shape[:2] and y.dtype == np.uint8
+    assert cbcr.shape == (img.shape[0] // 2, img.shape[1] // 2, 2)
+    # the decoded planes ARE what the encoder stored: they match the
+    # source image's own 4:2:0 planes up to q95 quantization (the RGB
+    # decode path would add fancy-upsampling differences at chroma edges)
+    ys, cs = nc.rgb_to_yuv420(img)
+    assert np.abs(y.astype(int) - ys.astype(int)).mean() < 1.0
+    assert np.abs(cbcr.astype(int) - cs.astype(int)).mean() < 2.0
+    # encode planes -> decode planes: lossy but close; PIL can open the file
+    enc = nc.encode_jpeg_yuv420(y, cbcr, quality=95)
+    assert enc is not None
+    back = nc.decode_jpeg_yuv420(enc)
+    assert back is not None
+    assert np.abs(back[0].astype(float) - y.astype(float)).mean() < 2.0
+    pil = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
+    assert pil.shape == img.shape
+
+
+def test_native_raw_plane_fallbacks(rng):
+    """Non-4:2:0 and odd-dimension JPEGs return None (callers fall back)."""
+    import io
+
+    from PIL import Image
+
+    from collaborative_distillation_tpu.data import native_codec as nc
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95, subsampling=0)  # 4:4:4
+    assert nc.decode_jpeg_yuv420(buf.getvalue()) is None
+    buf = io.BytesIO()
+    Image.fromarray(img[:31, :29]).save(buf, "JPEG", quality=95)  # odd dims
+    assert nc.decode_jpeg_yuv420(buf.getvalue()) is None
+    # encode rejects mismatched plane shapes
+    assert nc.encode_jpeg_yuv420(np.zeros((16, 16), np.uint8),
+                                 np.zeros((4, 4, 2), np.uint8)) is None
