@@ -25,7 +25,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-__all__ = ["fetch", "DEFAULT_CHUNKS", "DEFAULT_THREADS"]
+__all__ = ["fetch", "push", "DEFAULT_CHUNKS", "DEFAULT_THREADS"]
 
 DEFAULT_CHUNKS = int(os.environ.get("CD_TPU_FETCH_CHUNKS", "64"))
 DEFAULT_THREADS = int(os.environ.get("CD_TPU_FETCH_THREADS", "16"))
@@ -73,3 +73,33 @@ def fetch(x, *, chunks: int = DEFAULT_CHUNKS, threads: int = DEFAULT_THREADS,
     pool = _get_pool(threads)
     outs = list(pool.map(np.asarray, parts))
     return np.concatenate(outs, axis=axis)
+
+
+def push(arr: np.ndarray, *, streams: int = 2, min_bytes: int = 32 << 20):
+    """Host array -> device, using ``streams`` concurrent row-chunk uploads
+    reassembled on device with one concatenate.
+
+    The relay's h2d direction gains less from concurrency than d2h (measured
+    2026-08-16: 38.9 MB/s single-stream, 44.4 at 2 streams, WORSE at 4), so
+    the default is a modest 2; small arrays take the plain path.
+    """
+    import jax.numpy as jnp
+
+    if not isinstance(arr, np.ndarray):
+        return jnp.asarray(arr)
+    if arr.nbytes < min_bytes or arr.ndim < 2 or streams <= 1:
+        return jnp.asarray(arr)
+    # slice axis 0 when possible: for C-contiguous arrays those slices are
+    # views (no host copy before the upload)
+    axis = 0 if arr.shape[0] >= streams else 1
+    n = arr.shape[axis]
+    rows = -(-n // streams)
+    idx = [slice(None)] * arr.ndim
+    parts = []
+    for a in range(0, n, rows):
+        sl = list(idx)
+        sl[axis] = slice(a, min(a + rows, n))
+        parts.append(np.ascontiguousarray(arr[tuple(sl)]))
+    pool = _get_pool(max(streams, 2))
+    chunks = list(pool.map(jnp.asarray, parts))
+    return jnp.concatenate(chunks, axis=axis)

@@ -27,7 +27,7 @@ from ..models.vgg import apply_decoder, apply_decoder_pwct, apply_encoder
 from ..models.zoo import load_pyramid
 from ..ops.wct_transform import feature_stats, wct_transform
 from ..utils.colorspace import rgbf_to_yuv420_device, yuv420_to_rgbf_device
-from ..utils.transfer import fetch
+from ..utils.transfer import fetch, push
 
 # module-level jit singletons (a fresh jax.jit wrapper per call would
 # recompile every time)
@@ -289,9 +289,9 @@ class WCTEngine:
                 content = np.pad(content, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                  mode="edge")
             y, cbcr = rgb_to_yuv420_host(content)
-            img = _yuv420_to_rgbf(jnp.asarray(y), jnp.asarray(cbcr))
+            img = _yuv420_to_rgbf(push(y), jnp.asarray(cbcr))
         else:
-            img = jnp.asarray(content)
+            img = push(content)
             img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img)
         img = img.astype(self.dtype)
         sty = jnp.asarray(style)
@@ -359,7 +359,7 @@ class WCTEngine:
         """
         assert y.ndim == 2 and y.shape[0] % 2 == 0 and y.shape[1] % 2 == 0, y.shape
         orig_hw = y.shape
-        img = _yuv420_to_rgbf(jnp.asarray(y[None]), jnp.asarray(cbcr[None]))
+        img = _yuv420_to_rgbf(push(y[None]), jnp.asarray(cbcr[None]))
         img = img.astype(self.dtype)
         sty = jnp.asarray(style)
         if sty.ndim == 3:

@@ -59,3 +59,18 @@ def test_style_cache_lru_bound(monkeypatch, rng):
     eng._style_stats(1, sty, cache_key="s3")
     eng._style_stats(1, sty, cache_key="s6")
     assert [k[1] for k in eng._style_cache] == ["s5", "s3", "s6"]
+
+
+def test_push_roundtrip_and_small_path(rng):
+    from collaborative_distillation_tpu.utils.transfer import push
+
+    small = rng.random((8, 8, 3)).astype(np.float32)
+    out = push(small)
+    np.testing.assert_array_equal(np.asarray(out), small)
+    big = (rng.random((64, 2048, 64)) * 255).astype(np.uint8)  # > 32 MB? no:
+    # 64*2048*64 = 8 MB -> force the chunked path via min_bytes
+    out2 = push(big, streams=3, min_bytes=1 << 20)
+    np.testing.assert_array_equal(np.asarray(out2), big)
+    # odd split along a short axis
+    out3 = push(big[:5], streams=2, min_bytes=1 << 10)
+    np.testing.assert_array_equal(np.asarray(out3), big[:5])
