@@ -133,23 +133,40 @@ def build_app(engine, log, *, max_styles: int = 256):
                     # 4:2:0 internally — read the planes straight out, let
                     # the device do all pixel math, entropy-encode the
                     # stylized planes back. Zero host color conversion.
+                    # Gated off under --transport rgb (the operator asked
+                    # for bit-exact RGB transport); decode_jpeg_yuv420
+                    # enforces the decompression-bomb pixel cap that PIL
+                    # would apply on the fallback path.
                     from ..data.native_codec import (
                         decode_jpeg_yuv420,
                         encode_jpeg,
                         encode_jpeg_yuv420,
                     )
-                    if hasattr(engine, "stylize_planes"):
+                    if (hasattr(engine, "stylize_planes")
+                            and getattr(engine, "transport", "rgb") != "rgb"):
                         planes = decode_jpeg_yuv420(data)
-                    else:  # pragma: no cover — non-engine test doubles
+                    else:
                         planes = None
                     if planes is not None:
                         with lock:
                             yo, co = engine.stylize_planes(
                                 *planes, style_arr, alpha=alpha, style_key=name)
                         body = encode_jpeg_yuv420(yo, co, quality=95)
-                        if body is not None:
-                            return self._send(200, body, "image/jpeg")
-                    # fallback: PNG/other-sampling inputs, or no native codec
+                        if body is None:
+                            # native encode failed: the stylized planes are
+                            # already in hand — finish on the host instead
+                            # of re-running the cascade
+                            from ..utils.colorspace import yuv420_to_rgb_host
+                            out = yuv420_to_rgb_host(yo[None], co[None])[0]
+                            body = encode_jpeg(out, quality=95)
+                            if body is None:
+                                buf = io.BytesIO()
+                                Image.fromarray(out).save(buf, format="JPEG",
+                                                          quality=95)
+                                body = buf.getvalue()
+                        return self._send(200, body, "image/jpeg")
+                    # fallback: PNG/other-sampling inputs, rgb transport, or
+                    # no native codec
                     content = np.asarray(
                         Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
                     with lock:

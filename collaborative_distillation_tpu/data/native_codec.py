@@ -24,6 +24,14 @@ __all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg"
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "imgcodec.cpp")
 _SO = os.path.join(_REPO, "native", "libimgcodec.so")
+# decompression-bomb guard for untrusted inputs (serve request bodies): a
+# few-KB JPEG can claim 65500x65500 dims (~4.3 GB Y plane). Matches PIL's
+# own MAX_IMAGE_PIXELS default so the native path is never more permissive
+# than the PIL fallback it sits in front of.
+MAX_DECODE_PIXELS = int(os.environ.get("CD_TPU_MAX_DECODE_PIXELS",
+                                       str(178956970)))
+
+
 _lock = threading.Lock()
 _lib = None
 _failed = False
@@ -89,12 +97,32 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray | None:
     if lib.cd_jpeg_dims(data, len(data), scale_denom,
                         ctypes.byref(w), ctypes.byref(h)) != 0:
         return None
+    if w.value * h.value > MAX_DECODE_PIXELS:  # decompression-bomb guard
+        return None
     out = np.empty((h.value, w.value, 3), np.uint8)
     if lib.cd_jpeg_decode(data, len(data), scale_denom,
                           out.ctypes.data_as(ctypes.c_void_p),
                           w.value, h.value) != 0:
         return None
     return out
+
+
+
+def _encode_with_retry(call, w: int, h: int) -> bytes | None:
+    """Shared buffer-capacity contract for the cd_jpeg_encode* entry points:
+    worst-case w*h*3 buffer, one 2x retry when libjpeg had to realloc (-2),
+    None on failure."""
+    cap = w * h * 3 + (1 << 16)
+    n = -2
+    for _ in range(2):
+        out = np.empty(cap, np.uint8)
+        n = call(out.ctypes.data_as(ctypes.c_void_p), cap)
+        if n != -2:  # -2 = buffer too small (pathological content)
+            break
+        cap *= 2
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes | None:
@@ -109,33 +137,30 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes | None:
         return None
     arr = np.ascontiguousarray(arr)
     h, w = arr.shape[:2]
-    cap = w * h * 3 + (1 << 16)
-    out = np.empty(cap, np.uint8)
-    n = lib.cd_jpeg_encode(arr.ctypes.data_as(ctypes.c_void_p), w, h, quality,
-                           out.ctypes.data_as(ctypes.c_void_p), cap)
-    if n == -2:  # buffer too small (pathological content) — one retry, 2x
-        cap *= 2
-        out = np.empty(cap, np.uint8)
-        n = lib.cd_jpeg_encode(arr.ctypes.data_as(ctypes.c_void_p), w, h,
-                               quality, out.ctypes.data_as(ctypes.c_void_p), cap)
-    if n <= 0:
-        return None
-    return out[:n].tobytes()
+    return _encode_with_retry(
+        lambda buf, cap: lib.cd_jpeg_encode(
+            arr.ctypes.data_as(ctypes.c_void_p), w, h, quality, buf, cap),
+        w, h)
 
 
-def decode_jpeg_yuv420(data: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+def decode_jpeg_yuv420(data: bytes, *,
+                       max_pixels: int | None = None
+                       ) -> tuple[np.ndarray, np.ndarray] | None:
     """JPEG bytes -> (Y (H,W) u8, CbCr (H/2,W/2,2) u8) with NO color
     conversion anywhere: ordinary photo JPEGs already store YCbCr 4:2:0, so
     this reads the planes straight out (jpeg_read_raw_data). Returns None
-    when unavailable or the file is not even-dimensioned baseline 4:2:0 —
-    callers fall back to decode_jpeg + rgb_to_yuv420 (or plain RGB)."""
+    when unavailable, the file is not even-dimensioned baseline 4:2:0, or
+    its claimed dims exceed ``max_pixels`` (default MAX_DECODE_PIXELS) —
+    callers fall back to decode_jpeg + rgb_to_yuv420 (or PIL, which applies
+    its own decompression-bomb limit)."""
     lib = _load()
     if lib is None:
         return None
     w, h = ctypes.c_int(), ctypes.c_int()
     if lib.cd_jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)) != 0:
         return None
-    if w.value % 2 or h.value % 2:
+    limit = MAX_DECODE_PIXELS if max_pixels is None else max_pixels
+    if w.value % 2 or h.value % 2 or w.value * h.value > limit:
         return None
     y = np.empty((h.value, w.value), np.uint8)
     cbcr = np.empty((h.value // 2, w.value // 2, 2), np.uint8)
@@ -161,22 +186,11 @@ def encode_jpeg_yuv420(y: np.ndarray, cbcr: np.ndarray,
         return None
     y = np.ascontiguousarray(y)
     cbcr = np.ascontiguousarray(cbcr)
-    cap = w * h * 3 + (1 << 16)
-    out = np.empty(cap, np.uint8)
-    n = lib.cd_jpeg_encode_yuv420(y.ctypes.data_as(ctypes.c_void_p),
-                                  cbcr.ctypes.data_as(ctypes.c_void_p),
-                                  w, h, quality,
-                                  out.ctypes.data_as(ctypes.c_void_p), cap)
-    if n == -2:
-        cap *= 2
-        out = np.empty(cap, np.uint8)
-        n = lib.cd_jpeg_encode_yuv420(y.ctypes.data_as(ctypes.c_void_p),
-                                      cbcr.ctypes.data_as(ctypes.c_void_p),
-                                      w, h, quality,
-                                      out.ctypes.data_as(ctypes.c_void_p), cap)
-    if n <= 0:
-        return None
-    return out[:n].tobytes()
+    return _encode_with_retry(
+        lambda buf, cap: lib.cd_jpeg_encode_yuv420(
+            y.ctypes.data_as(ctypes.c_void_p),
+            cbcr.ctypes.data_as(ctypes.c_void_p), w, h, quality, buf, cap),
+        w, h)
 
 
 def rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:

@@ -4,7 +4,8 @@ This container reaches its TPU through a development relay whose
 device-to-host path is ~14 MB/s single-stream but scales ~3.5x with
 concurrent requests (measured 2026-08-16: 13.9 MB/s whole-array vs
 49 MB/s with 128 row-chunks fetched from 32 threads; the host-to-device
-direction does NOT benefit from threading — keep uploads single-stream).
+direction gains only ~14% from a second stream and REGRESSES beyond two —
+see :func:`push`).
 A 10240x4096 uint8 image is 126 MB, so the difference is ~9 s vs ~2.6 s
 of the UHD end-to-end budget.
 

@@ -155,8 +155,9 @@ class WCTEngine:
         # endpoints are JPEGs, already 4:2:0, so the end artifact is
         # unchanged up to chroma-box rounding; conversions run in the native
         # codec at ~30 ms/MPix). "auto" (default) picks yuv420 for uint8
-        # images >= _YUV_AUTO_MPIX megapixels — where the link savings dwarf
-        # the conversion cost — and rgb below that (and always for float I/O).
+        # images of >= _YUV_AUTO_PIX pixels (8 MPix default; env
+        # CD_TPU_YUV_AUTO_PIX, in PIXELS) — where the link savings dwarf the
+        # conversion cost — and rgb below that (and always for float I/O).
         self.transport = transport
         self.newton_iters = newton_iters
         self.dtype = dtype
@@ -268,6 +269,11 @@ class WCTEngine:
 
     def _to_device(self, content: np.ndarray, style: np.ndarray,
                    transport: str | None = None):
+        """Upload one pair; returns (img, sty, squeeze, orig_hw, transport)
+        with ``transport`` RESOLVED ("auto" decided here, from the input's
+        dtype/size, and reused verbatim for the output leg — the two sides
+        must agree so lossless float/rgb input never gets lossy 4:2:0
+        output)."""
         transport = transport or self.transport
         if transport == "auto":
             big = (isinstance(content, np.ndarray) and content.dtype == np.uint8
@@ -299,15 +305,13 @@ class WCTEngine:
         mult_h = 16 * self.space if self.space else 16
         img, _ = _pad_to_multiple(img, mult_h, 16)
         sty, _ = _pad_to_multiple(sty, mult_h, 16)
-        return img, sty, squeeze, orig
+        return img, sty, squeeze, orig, transport
 
     def _from_device(self, img, orig_hw, squeeze: bool, as_uint8: bool,
                      transport: str | None = None) -> np.ndarray:
         transport = transport or self.transport
-        if transport == "auto":
-            big = (as_uint8 and not isinstance(img, np.ndarray)
-                   and img.shape[1] * img.shape[2] >= _YUV_AUTO_PIX)
-            transport = "yuv420" if big else "rgb"
+        if transport == "auto":  # internal callers pass the input-side
+            transport = "rgb"    # resolution; direct callers get lossless
         if (transport == "yuv420" and as_uint8
                 and not isinstance(img, np.ndarray)):
             # fetch 4:2:0 planes from the (even-dim, padded) device image,
@@ -339,7 +343,8 @@ class WCTEngine:
         saved artifact only changes by chroma-box rounding; pass
         ``transport="rgb"`` for bit-exact RGB transport.
         """
-        img, sty, squeeze, orig_hw = self._to_device(content, style, transport)
+        img, sty, squeeze, orig_hw, transport = self._to_device(
+            content, style, transport)
         img = self._run_device(img, sty, alpha, num_run=num_run,
                                style_key=style_key, as_uint8=as_uint8,
                                pwct=pwct, orig_hw=orig_hw)
@@ -410,13 +415,14 @@ class WCTEngine:
                 r = nxt.result()
                 if r is None:
                     break
-                img, sty, squeeze, orig_hw, key = r
+                img, sty, squeeze, orig_hw, transport, key = r
                 nxt = pool.submit(prep)
                 out = self._run_device(img, sty, alpha, num_run=num_run,
                                        style_key=key, as_uint8=as_uint8,
                                        pwct=False, orig_hw=orig_hw)
                 fetches.append(pool.submit(
-                    self._from_device, out, orig_hw, squeeze, as_uint8))
+                    self._from_device, out, orig_hw, squeeze, as_uint8,
+                    transport))
                 # bound in-flight device images (HBM) to 2; results stream
                 # out in order as their readbacks land
                 if len(fetches) > 2:

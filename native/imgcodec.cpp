@@ -113,9 +113,16 @@ long cd_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
-  unsigned char* buf = out;
-  unsigned long buf_len = static_cast<unsigned long>(out_cap);
+  // mem-dest state lives behind a setjmp-safe volatile pointer: libjpeg may
+  // realloc the buffer mid-compress, and the error longjmp must still see
+  // the current pointer to free it (auto variables modified after setjmp
+  // are unreliable after longjmp).
+  struct Dest { unsigned char* buf; unsigned long len; } d;
+  d.buf = out;
+  d.len = static_cast<unsigned long>(out_cap);
+  Dest* volatile dp = &d;
   if (setjmp(jerr.setjmp_buffer)) {
+    if (dp->buf != out) free(dp->buf);
     jpeg_destroy_compress(&cinfo);
     return -1;
   }
@@ -123,7 +130,7 @@ long cd_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
   // jpeg_mem_dest mallocs a bigger buffer if ours is too small; detect that
   // and report -2 so the caller retries (we never want a malloc'd result we
   // would have to copy + free across the ABI).
-  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  jpeg_mem_dest(&cinfo, &dp->buf, &dp->len);
   cinfo.image_width = static_cast<JDIMENSION>(w);
   cinfo.image_height = static_cast<JDIMENSION>(h);
   cinfo.input_components = 3;
@@ -138,11 +145,11 @@ long cd_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
     jpeg_write_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_compress(&cinfo);
-  long written = static_cast<long>(buf_len);
-  bool reallocated = (buf != out);
+  long written = static_cast<long>(d.len);
+  bool reallocated = (d.buf != out);
   jpeg_destroy_compress(&cinfo);
   if (reallocated) {
-    free(buf);
+    free(d.buf);
     return -2;
   }
   return written;
@@ -168,7 +175,12 @@ int cd_jpeg_decode_yuv420(const uint8_t* data, long len,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  // band scratch is malloc'd behind a volatile pointer so the error longjmp
+  // (e.g. a truncated file mid-scan) can free it — C++ destructors do not
+  // run across longjmp, and serve feeds this attacker-controlled bytes.
+  uint8_t* volatile scratch = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
+    free(const_cast<uint8_t*>(scratch));
     jpeg_destroy_decompress(&cinfo);
     return -1;
   }
@@ -199,19 +211,26 @@ int cd_jpeg_decode_yuv420(const uint8_t* data, long len,
   const int y_stride = static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
   const int c_stride = static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
   const int w2 = w / 2, h2 = h / 2;
-  std::vector<uint8_t> ybuf(static_cast<size_t>(y_stride) * 16);
-  std::vector<uint8_t> cbbuf(static_cast<size_t>(c_stride) * 8);
-  std::vector<uint8_t> crbuf(static_cast<size_t>(c_stride) * 8);
+  scratch = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(y_stride) * 16 + static_cast<size_t>(c_stride) * 16));
+  if (scratch == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  uint8_t* ybuf = const_cast<uint8_t*>(scratch);
+  uint8_t* cbbuf = ybuf + static_cast<size_t>(y_stride) * 16;
+  uint8_t* crbuf = cbbuf + static_cast<size_t>(c_stride) * 8;
   JSAMPROW yrows[16], cbrows[8], crrows[8];
-  for (int i = 0; i < 16; ++i) yrows[i] = ybuf.data() + static_cast<long>(i) * y_stride;
+  for (int i = 0; i < 16; ++i) yrows[i] = ybuf + static_cast<long>(i) * y_stride;
   for (int i = 0; i < 8; ++i) {
-    cbrows[i] = cbbuf.data() + static_cast<long>(i) * c_stride;
-    crrows[i] = crbuf.data() + static_cast<long>(i) * c_stride;
+    cbrows[i] = cbbuf + static_cast<long>(i) * c_stride;
+    crrows[i] = crbuf + static_cast<long>(i) * c_stride;
   }
   JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
   while (cinfo.output_scanline < cinfo.output_height) {
     const int base = static_cast<int>(cinfo.output_scanline);
     if (jpeg_read_raw_data(&cinfo, planes, 16) == 0) {
+      free(const_cast<uint8_t*>(scratch));
       jpeg_abort_decompress(&cinfo);
       jpeg_destroy_decompress(&cinfo);
       return -3;
@@ -231,6 +250,8 @@ int cd_jpeg_decode_yuv420(const uint8_t* data, long len,
       }
     }
   }
+  free(const_cast<uint8_t*>(scratch));
+  scratch = nullptr;  // finish may still longjmp; avoid a double free
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return 0;
@@ -247,14 +268,20 @@ long cd_jpeg_encode_yuv420(const uint8_t* y, const uint8_t* cbcr,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
-  unsigned char* buf = out;
-  unsigned long buf_len = static_cast<unsigned long>(out_cap);
+  // see cd_jpeg_encode / cd_jpeg_decode_yuv420 for the setjmp-safety notes
+  struct Dest { unsigned char* buf; unsigned long len; } d;
+  d.buf = out;
+  d.len = static_cast<unsigned long>(out_cap);
+  Dest* volatile dp = &d;
+  uint8_t* volatile scratch = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
+    free(const_cast<uint8_t*>(scratch));
+    if (dp->buf != out) free(dp->buf);
     jpeg_destroy_compress(&cinfo);
     return -1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  jpeg_mem_dest(&cinfo, &dp->buf, &dp->len);
   cinfo.image_width = static_cast<JDIMENSION>(w);
   cinfo.image_height = static_cast<JDIMENSION>(h);
   cinfo.input_components = 3;
@@ -266,14 +293,20 @@ long cd_jpeg_encode_yuv420(const uint8_t* y, const uint8_t* cbcr,
   const int y_stride = static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
   const int c_stride = static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
   const int w2 = w / 2, h2 = h / 2;
-  std::vector<uint8_t> ybuf(static_cast<size_t>(y_stride) * 16);
-  std::vector<uint8_t> cbbuf(static_cast<size_t>(c_stride) * 8);
-  std::vector<uint8_t> crbuf(static_cast<size_t>(c_stride) * 8);
+  scratch = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(y_stride) * 16 + static_cast<size_t>(c_stride) * 16));
+  if (scratch == nullptr) {
+    jpeg_destroy_compress(&cinfo);
+    return -1;
+  }
+  uint8_t* ybuf = const_cast<uint8_t*>(scratch);
+  uint8_t* cbbuf = ybuf + static_cast<size_t>(y_stride) * 16;
+  uint8_t* crbuf = cbbuf + static_cast<size_t>(c_stride) * 8;
   JSAMPROW yrows[16], cbrows[8], crrows[8];
-  for (int i = 0; i < 16; ++i) yrows[i] = ybuf.data() + static_cast<long>(i) * y_stride;
+  for (int i = 0; i < 16; ++i) yrows[i] = ybuf + static_cast<long>(i) * y_stride;
   for (int i = 0; i < 8; ++i) {
-    cbrows[i] = cbbuf.data() + static_cast<long>(i) * c_stride;
-    crrows[i] = crbuf.data() + static_cast<long>(i) * c_stride;
+    cbrows[i] = cbbuf + static_cast<long>(i) * c_stride;
+    crrows[i] = crbuf + static_cast<long>(i) * c_stride;
   }
   JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
   while (cinfo.next_scanline < cinfo.image_height) {
@@ -299,12 +332,14 @@ long cd_jpeg_encode_yuv420(const uint8_t* y, const uint8_t* cbcr,
     }
     jpeg_write_raw_data(&cinfo, planes, 16);
   }
+  free(const_cast<uint8_t*>(scratch));
+  scratch = nullptr;
   jpeg_finish_compress(&cinfo);
-  long written = static_cast<long>(buf_len);
-  bool reallocated = (buf != out);
+  long written = static_cast<long>(d.len);
+  bool reallocated = (d.buf != out);
   jpeg_destroy_compress(&cinfo);
   if (reallocated) {
-    free(buf);
+    free(d.buf);
     return -2;
   }
   return written;

@@ -200,3 +200,25 @@ def test_engine_stylize_planes_matches_yuv_transport(rng):
     out = yuv420_to_rgb_host(yo[None], co[None])[0]
     d = np.abs(out.astype(int) - ref.astype(int))
     assert d.mean() < 2.0, d.mean()
+
+
+def test_auto_transport_float_input_uint8_output_stays_lossless(rng, monkeypatch):
+    """auto resolves from the INPUT side only: float input with as_uint8
+    output must never get lossy 4:2:0 transport, whatever the image size."""
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct import engine as eng_mod
+
+    key = jax.random.key(9)
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    k1, k2 = jax.random.split(key)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, k1), "dec": init_params(dspec, k2)}}
+    eng = eng_mod.WCTEngine(mode="16x", pyramid=pyramid, stages=(1,))
+    monkeypatch.setattr(eng_mod, "_YUV_AUTO_PIX", 1)  # everything is "big"
+    c = _smooth_rgb(rng, 48, 64)[0].astype(np.float32) / 255.0
+    s = _smooth_rgb(rng, 32, 32)[0].astype(np.float32) / 255.0
+    out_auto = eng.stylize(c, s, alpha=0.5, as_uint8=True)
+    out_rgb = eng.stylize(c, s, alpha=0.5, as_uint8=True, transport="rgb")
+    np.testing.assert_array_equal(out_auto, out_rgb)

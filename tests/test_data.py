@@ -253,3 +253,24 @@ def test_native_raw_plane_fallbacks(rng):
     # encode rejects mismatched plane shapes
     assert nc.encode_jpeg_yuv420(np.zeros((16, 16), np.uint8),
                                  np.zeros((4, 4, 2), np.uint8)) is None
+
+
+def test_native_decode_pixel_cap(rng, monkeypatch):
+    """The decompression-bomb guard: claimed dims over the cap return None
+    (callers fall back to PIL, which applies its own limit)."""
+    import io
+
+    from PIL import Image
+
+    from collaborative_distillation_tpu.data import native_codec as nc
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    data = buf.getvalue()
+    assert nc.decode_jpeg_yuv420(data) is not None
+    assert nc.decode_jpeg_yuv420(data, max_pixels=63 * 63) is None
+    monkeypatch.setattr(nc, "MAX_DECODE_PIXELS", 63 * 63)
+    assert nc.decode_jpeg(data) is None
+    assert nc.decode_jpeg_yuv420(data) is None
