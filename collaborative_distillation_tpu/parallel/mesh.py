@@ -87,5 +87,16 @@ def make_mesh(*, data: int = 1, space: int = 1, devices=None) -> Mesh:
     axes are laid out ICI-first for ``space`` (see
     :func:`order_devices_for_mesh`).
     """
-    devices = list(devices if devices is not None else jax.devices())
+    if devices is not None:
+        # an explicit device list is an explicit LAYOUT: honor the caller's
+        # ordering verbatim (they may be pinning specific chips to axes);
+        # only auto-discovered devices get the ICI-first arrangement
+        devices = list(devices)
+        need = data * space
+        if need > len(devices):
+            raise ValueError(
+                f"mesh {data}x{space} needs {need} devices, have {len(devices)}")
+        return Mesh(np.array(devices[:need]).reshape(data, space),
+                    ("data", "space"))
+    devices = list(jax.devices())
     return Mesh(order_devices_for_mesh(devices, data, space), ("data", "space"))

@@ -352,7 +352,8 @@ def _exchange_row_halos(img: jax.Array, hm: int, axis_name: str) -> jax.Array:
 def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
                              slab_rows: int = 1024, method: str = "eigh",
                              newton_iters: int = 24, eps: float = 1e-8,
-                             packed: bool = False, data_axis: str | None = None):
+                             packed: bool = False, data_axis: str | None = None,
+                             external_style_stats: bool = False):
     """One compiled program: row shards over ``space``, slab streaming inside
     each shard, WCT statistics psum'd across the mesh.
 
@@ -399,10 +400,15 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
     helper = SlabCascade(pyramid, stages=stages, slab_rows=slab_rows,
                          method=method, newton_iters=newton_iters, eps=eps,
                          packed=packed)
+    if helper.slab_rows < 2 * helper.margin:
+        # edge slabs must share the mid-slab shape: round the request up to
+        # the geometric minimum instead of crashing (callers read the
+        # effective size back from ``fn.slab_rows``)
+        helper = SlabCascade(pyramid, stages=stages,
+                             slab_rows=2 * helper.margin, method=method,
+                             newton_iters=newton_iters, eps=eps, packed=packed)
     slab, m = helper.slab_rows, helper.margin
-    assert slab >= 2 * m, (
-        f"slab_rows (rounded: {slab}) must be >= 2*margin ({2 * m}) so edge "
-        f"slabs share the mid-slab shape")
+    assert slab >= 2 * m, (slab, m)
     # per-stage margins (and so per-stage halo widths): a shallow stage only
     # needs ITS OWN enc+dec receptive radius of ghost rows — smaller halos
     # mean fewer ppermute bytes over ICI and less recompute per slab.
@@ -419,9 +425,15 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
         inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
         n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
         x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
-        s = jnp.sum(x, axis=0)
-        gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
-                               preferred_element_type=jnp.float32)
+        if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+            # same single-pass fused sum+gram kernel as the single-chip
+            # fused cascade (1.58x XLA, measured; HIGHEST-precision gram)
+            from ..ops.pallas.stats import fused_sum_gram
+            s, gram = fused_sum_gram(x)
+        else:
+            s = jnp.sum(x, axis=0)
+            gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
+                                   preferred_element_type=jnp.float32)
         s1 = s.reshape(f, c).sum(axis=0)
         if f > 1:
             gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
@@ -478,17 +490,25 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
             interior_f = slab // down
             mk = helper.margins[k]
             hm = 2 * mk  # halo rows: edge slabs extend inward by 2m
-            # style statistics: style replicated; identical on every shard
-            s_feats, sf = _encode(p[k]["enc"], style, spec_e)
-            if packed:
-                s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
+            if external_style_stats:
+                # precomputed per-style (engine caches them per style_key —
+                # re-encoding the style through 5 encoders on EVERY shard on
+                # EVERY run is pure waste for a registered style)
+                s_mean, s_cov = style[k]
+                s_mean = s_mean.astype(jnp.float32)
+                s_cov = s_cov.astype(jnp.float32)
             else:
-                x2 = s_feats.reshape(-1, c).astype(jnp.float32)
-                s_mean = jnp.mean(x2, axis=0)
-                xc = x2 - s_mean
-                s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
-                                        precision=_HIGH,
-                                        preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+                # style statistics: style replicated; identical on every shard
+                s_feats, sf = _encode(p[k]["enc"], style, spec_e)
+                if packed:
+                    s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
+                else:
+                    x2 = s_feats.reshape(-1, c).astype(jnp.float32)
+                    s_mean = jnp.mean(x2, axis=0)
+                    xc = x2 - s_mean
+                    s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
+                                            precision=_HIGH,
+                                            preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
 
             ext = _exchange_row_halos(img, hm, "space")
             rows = slab + hm
@@ -534,10 +554,21 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
             img, _ = lax.scan(apply_body, jnp.zeros_like(img), jnp.arange(n_slabs))
         return img
 
+    if external_style_stats:
+        assert data_axis is None, (
+            "external_style_stats currently requires a space-only mesh "
+            "(per-data-shard styles would need per-shard statistics)")
     img_spec = P(data_axis, "space", None, None)
+    style_spec = P() if external_style_stats else P(data_axis)
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), img_spec, P(data_axis), P()),
+        in_specs=(P(), img_spec, style_spec, P()),
         out_specs=img_spec,
     )
-    return jax.jit(sharded), params
+    jit_fn = jax.jit(sharded)
+
+    def fn(p, img, style, alpha):  # plain wrapper: jit objects reject attrs
+        return jit_fn(p, img, style, alpha)
+
+    fn.slab_rows = slab  # effective (possibly rounded-up) slab size
+    return fn, params

@@ -169,6 +169,12 @@ class WCTEngine:
         self._stage_fns: dict[int, callable] = {}
         self._style_stats_fns: dict[int, callable] = {}
         self._style_cache: OrderedDict = OrderedDict()  # LRU, STYLE_CACHE_MAX
+        # guards _style_cache only (NOT device work): the serve layer touches
+        # the cache from registration threads (invalidate_style) while
+        # stylize threads insert/evict under the separate engine lock —
+        # unsynchronized OrderedDict mutation corrupts it
+        import threading
+        self._cache_lock = threading.Lock()
         # spatial tiling over a 'space' mesh axis (UHD path)
         if packed is None:
             # width packing pays on the skinny 16x students; the teacher's
@@ -205,9 +211,11 @@ class WCTEngine:
                 self._tiled_fn, self._tiled_params = build_tiled_slab_cascade(
                     self.pyramid, self.mesh, stages=self.stages,
                     slab_rows=slab_rows, method=method,
-                    newton_iters=newton_iters, packed=packed)
-                down_max = 2 ** (max(self.stages) - 1)
-                self._tiled_slab = -(-slab_rows // down_max) * down_max
+                    newton_iters=newton_iters, packed=packed,
+                    external_style_stats=True)
+                # effective slab size (the builder rounds up to pyramid
+                # granularity AND to 2*margin)
+                self._tiled_slab = self._tiled_fn.slab_rows
             else:
                 from ..parallel.spatial import build_tiled_stylize_fn
                 self._tiled_fn = build_tiled_stylize_fn(
@@ -231,38 +239,45 @@ class WCTEngine:
 
     def invalidate_style(self, style_key) -> None:
         """Drop cached statistics for a style key (call when re-registering a
-        different image under the same name)."""
-        for key in [key for key in self._style_cache if key[1] == style_key]:
-            del self._style_cache[key]
+        different image under the same name). Thread-safe."""
+        with self._cache_lock:
+            for key in [k for k in self._style_cache if k[1] == style_key]:
+                del self._style_cache[key]
 
     def _style_stats(self, k, style: jax.Array, cache_key=None):
         key = (k, cache_key, style.shape) if cache_key is not None else None
-        if key is not None and key in self._style_cache:
-            self._style_cache.move_to_end(key)
-            return self._style_cache[key]
+        if key is not None:
+            with self._cache_lock:
+                if key in self._style_cache:
+                    self._style_cache.move_to_end(key)
+                    return self._style_cache[key]
         if k not in self._style_stats_fns:
             enc_spec = self.pyramid[k]["enc_spec"]
             self._style_stats_fns[k] = jax.jit(
                 lambda p, s: stage_style_stats(p, enc_spec, s))
         stats = self._style_stats_fns[k](self.params[k]["enc"], style)
         if key is not None:
-            self._style_cache[key] = stats
-            while len(self._style_cache) > STYLE_CACHE_MAX:
-                self._style_cache.popitem(last=False)
+            with self._cache_lock:
+                self._style_cache[key] = stats
+                while len(self._style_cache) > STYLE_CACHE_MAX:
+                    self._style_cache.popitem(last=False)
         return stats
 
     def _fused_style_stats(self, style: jax.Array, style_key=None):
         """Per-stage {k: (mean, cov)} for the fused slab cascade (computed by
         the SlabCascade's per-stage programs, packed-aware), LRU-cached."""
         key = ("fused", style_key, style.shape) if style_key is not None else None
-        if key is not None and key in self._style_cache:
-            self._style_cache.move_to_end(key)
-            return self._style_cache[key]
+        if key is not None:
+            with self._cache_lock:
+                if key in self._style_cache:
+                    self._style_cache.move_to_end(key)
+                    return self._style_cache[key]
         stats = {k: self.slab._style_stats(k, style) for k in self.stages}
         if key is not None:
-            self._style_cache[key] = stats
-            while len(self._style_cache) > STYLE_CACHE_MAX:
-                self._style_cache.popitem(last=False)
+            with self._cache_lock:
+                self._style_cache[key] = stats
+                while len(self._style_cache) > STYLE_CACHE_MAX:
+                    self._style_cache.popitem(last=False)
         return stats
 
     # -- the three pipeline phases: upload/convert/pad -> cascade -> fetch --
@@ -492,13 +507,17 @@ class WCTEngine:
             sharding = NamedSharding(self.mesh, P(None, "space", None, None))
             if self._tiled_slab:
                 # slab-in-shard path: pad H to slab granularity per shard;
-                # style is replicated (encoded whole on every shard)
+                # style statistics are precomputed once (and cached per
+                # style_key) instead of re-encoding the style through every
+                # encoder on every shard on every run
                 mult = self._tiled_slab * self.space
                 hp = -(-img.shape[1] // mult) * mult
                 if hp != img.shape[1]:
                     img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
                                   mode="reflect")
-                sty = jax.device_put(sty, NamedSharding(self.mesh, P()))
+                sstats = {k: self._style_stats(k, sty, cache_key=style_key)
+                          for k in self.stages}
+                sty = jax.device_put(sstats, NamedSharding(self.mesh, P()))
             else:
                 sty = jax.device_put(sty, sharding)
             img = jax.device_put(img, sharding)

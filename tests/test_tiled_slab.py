@@ -127,3 +127,42 @@ def test_engine_space_plus_slab_rows(pyramid, imgs):
     out = eng.stylize(cn, sn, alpha=0.9)
     assert out.shape == cn.shape
     assert np.isfinite(out).all()
+
+
+def test_engine_space_slab_external_stats_matches_plain(pyramid, imgs):
+    """The engine's tiled-slab path (external per-style statistics, cached
+    by style_key) matches the plain single-device engine within spatial
+    reassociation tolerance — and caching doesn't change the result."""
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    c, s = imgs
+    cn, sn = np.asarray(c[0]), np.asarray(s[0])
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=STAGES, space=4,
+                    slab_rows=48, packed=False)
+    # oracle: single-chip slab engine with the SAME slab size, so the global
+    # slab boundaries coincide (differences are f32 reassociation + the
+    # psum'd statistics order + unpacked-vs-internal style stats)
+    ref = WCTEngine(mode="16x", pyramid=pyramid, stages=STAGES,
+                    slab_rows=eng._tiled_slab, packed=False,
+                    fused=True).stylize(cn, sn, alpha=0.8, style_key="k")
+    out1 = eng.stylize(cn, sn, alpha=0.8, style_key="k")
+    out2 = eng.stylize(cn, sn, alpha=0.8, style_key="k")  # cached stats
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+    np.testing.assert_allclose(out1, ref, atol=3e-3, rtol=0)
+
+
+def test_tiny_slab_request_rounds_up(pyramid, imgs):
+    """slab_rows below 2*margin rounds up instead of crashing; the
+    effective size is readable from fn.slab_rows."""
+    c, s = imgs
+    mesh = make_mesh(space=4)
+    fn, params = build_tiled_slab_cascade(pyramid, mesh, stages=STAGES,
+                                          slab_rows=4)
+    helper = SlabCascade(pyramid, stages=STAGES, slab_rows=4)
+    assert fn.slab_rows >= 2 * helper.margin
+    # a properly padded input runs
+    mult = fn.slab_rows * 4
+    hp = -(-c.shape[1] // mult) * mult
+    cp = jnp.pad(c, ((0, 0), (0, hp - c.shape[1]), (0, 0), (0, 0)), mode="reflect")
+    out = fn(params, cp, s, 1.0)
+    assert out.shape == cp.shape
