@@ -38,24 +38,33 @@ def build_app(engine, log, *, max_styles: int = 256):
     # LRU-bounded registry: a long-lived server registering styles forever
     # must not grow host memory (raw style images) or device memory (the
     # engine's per-stage statistics cache, itself LRU'd) without bound.
-    styles: OrderedDict[str, np.ndarray] = OrderedDict()
+    # Each registration gets a fresh GENERATION in its cache key: an
+    # in-flight /stylize that read the previous image can only (re)cache
+    # stats under the OLD key, never poison the new registration (warm-up is
+    # async, so "invalidate then recompute" alone cannot prevent that race).
+    styles: OrderedDict[str, tuple[np.ndarray, str]] = OrderedDict()
+    gen_counter = iter(range(1 << 62))
     lock = threading.Lock()          # serializes device work (one accelerator)
     registry_lock = threading.Lock()  # guards the styles dict only
 
-    def register(name: str, arr: np.ndarray) -> None:
+    def register(name: str, arr: np.ndarray) -> str:
         with registry_lock:
+            keyed = f"{name}#{next(gen_counter)}"
+            old = styles.get(name)
             if name in styles:
                 styles.move_to_end(name)
-            styles[name] = arr
-            if hasattr(engine, "invalidate_style"):
-                engine.invalidate_style(name)  # re-registration
+            styles[name] = (arr, keyed)
+            evicted_keys = [old[1]] if old is not None else []
             while len(styles) > max_styles:
-                evicted, _ = styles.popitem(last=False)
-                if hasattr(engine, "invalidate_style"):
-                    engine.invalidate_style(evicted)
+                evicted, (_, ekey) = styles.popitem(last=False)
+                evicted_keys.append(ekey)
                 log(f"style registry full: evicted {evicted!r}")
+        if hasattr(engine, "invalidate_style"):
+            for ekey in evicted_keys:  # free cached stats (memory, not
+                engine.invalidate_style(ekey)  # correctness — keys are dead)
+        return keyed
 
-    def warm(name: str, arr: np.ndarray) -> None:
+    def warm(keyed: str, arr: np.ndarray) -> None:
         # background: the first warm-up includes an XLA compile (tens of
         # seconds on a remote TPU) — holding the engine lock from the
         # registration request would block every concurrent /stylize for
@@ -64,10 +73,10 @@ def build_app(engine, log, *, max_styles: int = 256):
         try:
             probe = np.zeros((32, 32, 3), np.uint8)
             with lock:
-                engine.stylize(probe, arr, style_key=name)
-            log(f"style {name!r} warm")
+                engine.stylize(probe, arr, style_key=keyed)
+            log(f"style {keyed!r} warm")
         except Exception as e:  # noqa: BLE001 — warm-up is best-effort
-            log(f"style warm-up failed for {name!r}: {type(e).__name__}: {e}")
+            log(f"style warm-up failed for {keyed!r}: {type(e).__name__}: {e}")
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -109,8 +118,8 @@ def build_app(engine, log, *, max_styles: int = 256):
                         return self._json(400, {"error": "style name required"})
                     img = Image.open(io.BytesIO(self._read_body())).convert("RGB")
                     arr = np.asarray(img, np.uint8)
-                    register(name, arr)
-                    threading.Thread(target=warm, args=(name, arr),
+                    keyed = register(name, arr)
+                    threading.Thread(target=warm, args=(keyed, arr),
                                      daemon=True).start()
                     return self._json(200, {"registered": name,
                                             "size": list(arr.shape[:2]),
@@ -120,10 +129,11 @@ def build_app(engine, log, *, max_styles: int = 256):
                     alpha = float(q.get("alpha", ["1.0"])[0])
                     name = q.get("style", [None])[0]
                     with registry_lock:
-                        style_arr = styles.get(name) if name else None
-                        if style_arr is not None:
+                        entry = styles.get(name) if name else None
+                        if entry is not None:
                             styles.move_to_end(name)
                         known = sorted(styles)
+                    style_arr, keyed = entry if entry is not None else (None, None)
                     if style_arr is None:
                         return self._json(400, {
                             "error": f"unknown style {name!r}; register via POST /style/<name>",
@@ -150,7 +160,7 @@ def build_app(engine, log, *, max_styles: int = 256):
                     if planes is not None:
                         with lock:
                             yo, co = engine.stylize_planes(
-                                *planes, style_arr, alpha=alpha, style_key=name)
+                                *planes, style_arr, alpha=alpha, style_key=keyed)
                         body = encode_jpeg_yuv420(yo, co, quality=95)
                         if body is None:
                             # native encode failed: the stylized planes are
@@ -171,7 +181,7 @@ def build_app(engine, log, *, max_styles: int = 256):
                         Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
                     with lock:
                         out = engine.stylize(content, style_arr, alpha=alpha,
-                                             style_key=name, as_uint8=True)
+                                             style_key=keyed, as_uint8=True)
                     # native libjpeg encode (GIL released -> concurrent
                     # encodes across server threads); PIL fallback
                     body = encode_jpeg(out, quality=95)

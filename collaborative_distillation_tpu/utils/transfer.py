@@ -36,11 +36,18 @@ DEFAULT_THREADS = int(os.environ.get("CD_TPU_FETCH_THREADS", "16"))
 _pool: ThreadPoolExecutor | None = None
 
 
+_pool_lock = __import__("threading").Lock()
+
+
 def _get_pool(threads: int) -> ThreadPoolExecutor:
     global _pool
-    if _pool is None or _pool._max_workers < threads:  # noqa: SLF001
-        _pool = ThreadPoolExecutor(max_workers=threads)
-    return _pool
+    with _pool_lock:  # fetch/push are called from worker threads themselves
+        if _pool is None or _pool._max_workers < threads:  # noqa: SLF001
+            # never shutdown a superseded pool here: another thread may be
+            # mid-map on it (its threads drain and idle; growth happens at
+            # most once, DEFAULT_THREADS is the practical maximum)
+            _pool = ThreadPoolExecutor(max_workers=threads)
+        return _pool
 
 
 def fetch(x, *, chunks: int = DEFAULT_CHUNKS, threads: int = DEFAULT_THREADS,
