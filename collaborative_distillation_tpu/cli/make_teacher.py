@@ -76,7 +76,10 @@ def build_synthetic_teacher(out_root: str, stages=(1, 2, 3, 4, 5), *, seed: int 
         enc = init_params(espec, ke)
         if espec.has_conv0:
             enc["conv0"] = {"w": PREPROC_CONV0["w"], "b": PREPROC_CONV0["b"]}
-        enc = normalize_encoder(enc, espec, calib_batches)
+        # synthetic random teachers have near-dead relu filters; floor them
+        # so the normalization scale can't explode (real-teacher runs via
+        # cli.normalize_vgg keep the exact reference semantics, floor off)
+        enc = normalize_encoder(enc, espec, calib_batches, rel_floor=1e-2)
         dec = init_params(dspec, kd)
         epath = os.path.join(out_root, "original", f"e{k}.npz")
         dpath = os.path.join(out_root, "original", f"d{k}.npz")

@@ -21,7 +21,7 @@ import numpy as np
 
 
 def normalize_encoder(params, spec, batches, *, eps: float = 1e-12,
-                      rel_floor: float = 1e-2):
+                      rel_floor: float = 0.0):
     """Return a new params tree with per-filter mean activation == 1.
 
     ``batches``: iterable of (N, H, W, 3) float arrays. Mean activations are
@@ -29,10 +29,11 @@ def normalize_encoder(params, spec, batches, *, eps: float = 1e-12,
     reference (it averages the ReLU'd blob, normalise_caffe.py:83-106).
 
     ``rel_floor``: filters whose mean activation is below ``rel_floor`` x the
-    layer's average are floored there before inverting. Real VGG weights
-    never need this, but near-dead relu filters (possible in random/synthetic
-    teachers) would otherwise receive a ~1/eps rescale that explodes on any
-    input the calibration set didn't cover.
+    layer's average are floored there before inverting. OFF by default (0.0
+    = exact reference semantics — every filter normalized to mean 1, real
+    VGG weights never need a floor). Synthetic/random teachers
+    (cli.make_teacher) pass 1e-2 so near-dead relu filters don't receive a
+    ~1/eps rescale that explodes on inputs the calibration set didn't cover.
     """
     import jax
     import jax.numpy as jnp
@@ -96,6 +97,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--rel_floor", type=float, default=0.0,
+                    help="floor mean activations at this fraction of the "
+                         "layer mean before inverting (0 = reference "
+                         "semantics; use ~1e-2 for synthetic teachers)")
     args = ap.parse_args(argv)
 
     from ..data.pipeline import CenterCropDataset
@@ -110,7 +115,7 @@ def main(argv=None) -> int:
     batches = []
     for i in range(0, n, args.batch):
         batches.append(np.stack([ds[j][0] for j in range(i, min(i + args.batch, n))]))
-    out = normalize_encoder(params, spec, batches)
+    out = normalize_encoder(params, spec, batches, rel_floor=args.rel_floor)
     save_tree_npz({k: {n_: np.asarray(v) for n_, v in e.items()} for k, e in out.items()},
                   args.out)
     print(f"normalized {args.weights} over {n} images -> {args.out}")

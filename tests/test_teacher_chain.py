@@ -93,6 +93,9 @@ def teacher_store(tmp_path_factory):
         assert cli_norm.main([
             "--weights", e, "--stage", str(k), "--images", str(imgdir),
             "--n_images", "4", "--batch", "2", "--size", "64",
+            # random synthetic teachers have near-dead filters; the floor is
+            # opt-in (the CLI default 0 = exact reference semantics)
+            "--rel_floor", "1e-2",
             "--out", e]) == 0
     # prune teachers into 16x_base student inits
     for k in STAGES:
