@@ -175,6 +175,11 @@ def main():
         # the measured on-device time — ~5-10 ms of the ~2.1 s, i.e. the
         # reported MPix/s is conservative by <0.5%.
         return float(jnp.sum(x[0, ::97, ::97, 0]))
+    # warm: the e2e path streams the tail via the head program, so the full
+    # monolithic program is cold here and must compile outside the timing
+    t0 = time.time()
+    force(fn(fparams, cd, sd, 1.0))
+    log(f"device-cascade warm-up (compile): {time.time() - t0:.1f}s")
     best_dev = float("inf")
     for _ in range(3):
         t0 = time.time()

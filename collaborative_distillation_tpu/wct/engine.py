@@ -144,7 +144,8 @@ class WCTEngine:
                  method: str = "eigh", newton_iters: int = 24,
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
                  slab_rows: int = 0, packed: bool | None = None, fused: bool = True,
-                 pyramid=None, transport: str = "auto"):
+                 pyramid=None, transport: str = "auto",
+                 stream_min_pix: int | None = None):
         if transport not in ("auto", "rgb", "yuv420"):
             raise ValueError(
                 f"transport must be 'auto', 'rgb' or 'yuv420', got {transport!r}")
@@ -159,6 +160,13 @@ class WCTEngine:
         # CD_TPU_YUV_AUTO_PIX, in PIXELS) — where the link savings dwarf the
         # conversion cost — and rgb below that (and always for float I/O).
         self.transport = transport
+        # streamed final stage (fused path, uint8 output): below this many
+        # pixels the single monolithic program wins (one compile unit, no
+        # per-band dispatch); above it, overlapping the readback with the
+        # last stage's compute pays. Same scale as the yuv420 auto cutoff.
+        self.stream_min_pix = (stream_min_pix if stream_min_pix is not None
+                               else int(__import__("os").environ.get(
+                                   "CD_TPU_STREAM_MIN_PIX", str(8 * 1024 * 1024))))
         self.newton_iters = newton_iters
         self.dtype = dtype
         self.stages = tuple(stages)
@@ -362,7 +370,7 @@ class WCTEngine:
             content, style, transport)
         img = self._run_device(img, sty, alpha, num_run=num_run,
                                style_key=style_key, as_uint8=as_uint8,
-                               pwct=pwct, orig_hw=orig_hw)
+                               pwct=pwct, orig_hw=orig_hw, transport=transport)
         return self._from_device(img, orig_hw, squeeze, as_uint8, transport)
 
     def stylize_planes(self, y: np.ndarray, cbcr: np.ndarray, style,
@@ -434,7 +442,8 @@ class WCTEngine:
                 nxt = pool.submit(prep)
                 out = self._run_device(img, sty, alpha, num_run=num_run,
                                        style_key=key, as_uint8=as_uint8,
-                                       pwct=False, orig_hw=orig_hw)
+                                       pwct=False, orig_hw=orig_hw,
+                                       transport=transport)
                 fetches.append(pool.submit(
                     self._from_device, out, orig_hw, squeeze, as_uint8,
                     transport))
@@ -446,9 +455,10 @@ class WCTEngine:
                 yield f.result()
 
     def _run_device(self, img, sty, alpha, *, num_run: int, style_key,
-                    as_uint8: bool, pwct: bool, orig_hw):
+                    as_uint8: bool, pwct: bool, orig_hw, transport=None):
         """Run the cascade on device-resident inputs; returns the (padded)
-        device image, or a host uint8 array if a streaming path fetched it."""
+        device image, or a host uint8 array if a streaming path fetched it.
+        ``transport`` (resolved) picks the streamed tail's wire format."""
         if pwct and (self.slab is not None or self._tiled_fn is not None
                      or self._fused_slab is not None):
             raise ValueError(
@@ -479,8 +489,29 @@ class WCTEngine:
                 img = jnp.pad(img, ((0, 0), (0, hp - img.shape[1]), (0, 0), (0, 0)),
                               mode="reflect")
             sstats = self._fused_style_stats(sty, style_key)
+            # streamed tail: for big uint8 outputs, stop the fused program
+            # before the last stage's apply and stream that stage back in
+            # fine bands — the d2h readback (the UHD bottleneck on this
+            # link) overlaps the remaining bands' compute and the host-side
+            # 4:2:0 reassembly instead of starting after everything else
+            stream = (as_uint8 and num_run == 1 and len(self.stages) > 0
+                      and img.shape[1] * img.shape[2] >= self.stream_min_pix)
             completed = 0
             try:
+                if stream:
+                    key = ("fused_head", slab)
+                    if key not in self._stage_fns:
+                        from .slab import build_fused_slab_cascade
+                        self._stage_fns[key] = build_fused_slab_cascade(
+                            self.pyramid, stages=self.stages, slab_rows=slab,
+                            method=self.method, newton_iters=self.newton_iters,
+                            packed=self.slab.packed, external_style_stats=True,
+                            tail_stats=True)
+                    head, hparams = self._stage_fns[key]
+                    h_img, t, cm, sm = head(hparams, img, sstats, alpha)
+                    emit = "yuv420" if transport == "yuv420" else "u8"
+                    return self.slab.stream_last_stage(h_img, t, cm, sm, alpha,
+                                                       emit=emit)
                 while completed < num_run:
                     img = fn(fparams, img, sstats, alpha)
                     completed += 1

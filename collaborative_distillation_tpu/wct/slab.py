@@ -256,7 +256,7 @@ class SlabCascade:
 
     # ---- driver ----
 
-    def _slabs(self, h: int, stage: int | None = None):
+    def _slabs(self, h: int, stage: int | None = None, slab: int | None = None):
         """Yield (input_start, input_rows, interior_offset) per slab.
 
         Edge slabs start/end at the true image boundary, so the per-conv
@@ -266,8 +266,10 @@ class SlabCascade:
         within the receptive radius and is cropped by the interior offset.
 
         ``stage``: use that stage's own (smaller) margin; None = the max.
+        ``slab``: override the slab size (must divide ``h``); None = the
+        cascade's configured ``slab_rows``.
         """
-        slab = self.slab_rows
+        slab = slab if slab is not None else self.slab_rows
         m = self.margins[stage] if stage is not None else self.margin
         n_slabs = h // slab
         if n_slabs == 1:
@@ -358,12 +360,96 @@ class SlabCascade:
             img = jnp.concatenate(outs, axis=1)
         return img[:, :h]
 
+    # ---- streamed final stage (overlap d2h readback with device work) ----
+
+    def _tail_fn(self, k, emit: str, interior: int):
+        """Jitted: one extended slab -> last-stage apply -> interior rows ->
+        device-side uint8 RGB (emit='u8') or 4:2:0 planes (emit='yuv420')."""
+        key = ("tail", k, emit, interior)
+        if key not in self._apply_fns:
+            enc_spec = self.pyramid[k]["enc_spec"]
+            dec_spec = self.pyramid[k]["dec_spec"]
+            base = _slab_apply_packed if self.packed else _slab_apply
+
+            def f(ek, dk, sl, off, t, cm, sm, alpha):
+                dec = base(ek, dk, sl, off, t, cm, sm, alpha,
+                           enc_spec=enc_spec, dec_spec=dec_spec,
+                           interior=interior)
+                if emit == "yuv420":
+                    from ..utils.colorspace import rgbf_to_yuv420_device
+                    return rgbf_to_yuv420_device(dec)
+                return (jnp.clip(dec.astype(jnp.float32), 0.0, 1.0) * 255.0
+                        + 0.5).astype(jnp.uint8)
+
+            self._apply_fns[key] = jax.jit(f)
+        return self._apply_fns[key]
+
+    def stream_last_stage(self, img, t, c_mean, s_mean, alpha, *,
+                          emit: str = "u8", rows: int | None = None) -> np.ndarray:
+        """Apply the cascade's LAST stage in fine row bands, streaming each
+        band to the host while the next one computes.
+
+        ``img``: (1, H, W, 3) device image *entering* the last stage (e.g.
+        the ``tail_stats=True`` fused program's output); ``t, c_mean,
+        s_mean``: that stage's precomputed coloring ingredients. The bands
+        use the stage's own margin (e.g. 16 rows for stage 1), so the band
+        layout is independent of — and much finer than — ``slab_rows``; the
+        interiors are the same rows the monolithic apply produces. Readback
+        (the UHD bottleneck on a slow link: 126 MB RGB / 63 MB 4:2:0) and
+        the host-side 4:2:0->RGB reassembly overlap the remaining bands'
+        device compute. Returns host uint8 RGB (1, H, W, 3).
+        """
+        k = self.stages[-1]
+        m = self.margins[k]
+        hp = img.shape[1]
+        # 4:2:0 planes need even band heights (chroma boxes must not
+        # straddle bands); down_max==1 for a stage-1-only pyramid
+        gran = max(self.down_max, 2) if emit == "yuv420" else self.down_max
+        if rows is None:
+            # ~8 bands, multiple of the pyramid granularity, dividing H
+            target = max(2 * m, -(-hp // 8 // gran) * gran)
+            rows = next((r for r in range(target, hp + 1, gran)
+                         if hp % r == 0), hp)
+        assert hp % rows == 0 and rows % gran == 0, (hp, rows, gran)
+        n = hp // rows
+        enc = self.packed_params[k]["enc"] if self.packed else self.pyramid[k]["enc"]
+        dec = self.packed_params[k]["dec"] if self.packed else self.pyramid[k]["dec"]
+        alpha = jnp.asarray(alpha, jnp.float32)
+        slabs = list(self._slabs(hp, k, slab=rows))
+        interior = rows if n > 1 else hp
+        fn = self._tail_fn(k, emit, interior)
+        # dispatch every band up front (async; the device queue serializes),
+        # then collect concurrently: fetch of band i rides the link while
+        # bands i+1.. compute, and the native 4:2:0->RGB reassembly of band
+        # i overlaps the fetch of band i+1 (ctypes releases the GIL)
+        devs = [fn(enc, dec,
+                   lax.dynamic_slice_in_dim(img, start, rws, axis=1),
+                   jnp.int32(off), t, c_mean, s_mean, alpha)
+                for start, rws, off in slabs]
+        from ..utils.transfer import fetch
+
+        def collect(d):
+            if emit == "yuv420":
+                from ..utils.colorspace import yuv420_to_rgb_host
+                y = fetch(d[0], min_bytes=1 << 20, chunks=8)
+                cb = fetch(d[1], min_bytes=1 << 20, chunks=4)
+                return yuv420_to_rgb_host(y, cb)
+            return fetch(d, min_bytes=1 << 20, chunks=16)
+
+        if n == 1:
+            return collect(devs[0])
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(collect, devs))
+        return np.concatenate(outs, axis=1)
+
 
 def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
                              method: str = "eigh", newton_iters: int = 24,
                              eps: float = 1e-8, packed: bool = False,
                              feature_cache_bytes: int = 5_000_000_000,
-                             external_style_stats: bool = False):
+                             external_style_stats: bool = False,
+                             tail_stats: bool = False):
     """One compiled program for the whole slab cascade.
 
     The per-slab python loops of :class:`SlabCascade` become ``lax.scan``s
@@ -387,6 +473,14 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     pure waste (~0.4 s of the 2.1 s UHD cascade). When True, ``fn`` takes
     ``{stage: (mean, cov)}`` precomputed statistics instead of the raw style
     image (compute them once via :meth:`SlabCascade._style_stats`).
+
+    ``tail_stats``: stop before the LAST stage's apply scan — run its stats
+    pass only and return ``(img, t, c_mean, s_mean)`` (the image entering
+    the last stage plus that stage's coloring ingredients). Feed these to
+    :meth:`SlabCascade.stream_last_stage`, which applies the final stage in
+    fine bands streamed to the host while the device is still working —
+    overlapping the slow d2h readback with compute instead of serializing
+    them after a monolithic program.
     """
     helper = SlabCascade(pyramid, stages=stages, slab_rows=slab_rows,
                          method=method, newton_iters=newton_iters, eps=eps,
@@ -460,14 +554,17 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                                             precision=_HIGH,
                                             preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
 
+            last_is_tail = tail_stats and k == stages[-1]
             interior_f = slab // down
             # decide feature caching from the stacked-feature byte size
-            # (probe one slab's feature shape cheaply via eval_shape)
+            # (probe one slab's feature shape cheaply via eval_shape); the
+            # tail stage never caches — its apply happens outside this
+            # program, so stacking its features would only burn HBM
             probe = jax.eval_shape(
                 lambda s_, _pk=p[k]["enc"]: _encode(_pk, s_, spec_e)[0],
                 jax.ShapeDtypeStruct((1, rows, img.shape[2], 3), img.dtype))
             feat_bytes = n_slabs * int(np.prod(probe.shape)) * 4
-            cache = feat_bytes <= feature_cache_bytes
+            cache = feat_bytes <= feature_cache_bytes and not last_is_tail
 
             def stat_body(carry, i, _img=img, _pk=p[k]["enc"], _down=down,
                           _interior=interior_f, _c=c, _cache=cache):
@@ -485,6 +582,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
             c_cov = (s2 - cnt * jnp.outer(c_mean, c_mean)) / (cnt - 1)
             t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
                                 newton_iters=newton_iters)
+            if last_is_tail:
+                return img, t, c_mean, s_mean
 
             def apply_body(out_img, xs, _img=img, _ek=p[k]["enc"], _dk=p[k]["dec"],
                            _t=t, _cm=c_mean, _sm=s_mean, _cache=cache, _down=down):

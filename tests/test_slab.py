@@ -238,3 +238,70 @@ def test_stylize_pairs_pipeline_matches_sequential(rng):
     for i, (c, s) in enumerate(pairs):
         ref = eng.stylize(c, s, alpha=0.8, style_key=keys[i], as_uint8=True)
         np.testing.assert_array_equal(piped[i], ref)
+
+
+def test_streamed_tail_matches_monolithic_fused(rng):
+    """stream_min_pix=0 routes uint8 output through the head-program +
+    streamed-last-stage path; the result must match the monolithic fused
+    program's output band-for-band (interiors are exact; only f32
+    reassociation across band shapes may flip the uint8 rounding)."""
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=11)
+    c = (rng.random((96, 32, 3)) * 255).astype(np.uint8)
+    s = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    mono = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                     slab_rows=32, fused=True, packed=False,
+                     stream_min_pix=1 << 60)
+    streamed = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                         slab_rows=32, fused=True, packed=False,
+                         stream_min_pix=0)
+    ref = mono.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
+    out = streamed.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
+    assert out.shape == ref.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_streamed_tail_yuv420_matches_monolithic(rng):
+    """Same contract through the 4:2:0 wire format: streamed bands are
+    even-height so chroma boxes never straddle a band — the reassembled RGB
+    matches the monolithic yuv420 output to rounding."""
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=12)
+    c = (rng.random((96, 32, 3)) * 255).astype(np.uint8)
+    s = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    mono = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                     slab_rows=32, fused=True, packed=False,
+                     transport="yuv420", stream_min_pix=1 << 60)
+    streamed = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                         slab_rows=32, fused=True, packed=False,
+                         transport="yuv420", stream_min_pix=0)
+    ref = mono.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
+    out = streamed.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_streamed_tail_packed_and_float_input(rng):
+    """Packed pipeline + float input (rgb transport, as_uint8): the streamed
+    path must agree with the unstreamed one; float (non-uint8) output
+    requests bypass streaming entirely."""
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=13)
+    c = rng.random((96, 32, 3)).astype(np.float32)
+    s = rng.random((48, 32, 3)).astype(np.float32)
+    mono = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                     slab_rows=32, fused=True, packed=True,
+                     stream_min_pix=1 << 60)
+    streamed = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                         slab_rows=32, fused=True, packed=True,
+                         stream_min_pix=0)
+    ref = mono.stylize(c, s, alpha=1.0, style_key="x", as_uint8=True)
+    out = streamed.stylize(c, s, alpha=1.0, style_key="x", as_uint8=True)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # float output: not streamed, identical both engines
+    f_ref = mono.stylize(c, s, alpha=1.0, style_key="x")
+    f_out = streamed.stylize(c, s, alpha=1.0, style_key="x")
+    np.testing.assert_allclose(f_out, f_ref, atol=1e-6)
