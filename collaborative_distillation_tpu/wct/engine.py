@@ -312,13 +312,11 @@ class WCTEngine:
                 and content.dtype == np.uint8):
             # JPEG-native 4:2:0 planes across the link (1.5 B/px); the style
             # is small and stays RGB
-            from ..utils.colorspace import rgb_to_yuv420_host
             ph, pw = (-orig[0]) % 2, (-orig[1]) % 2
             if ph or pw:
                 content = np.pad(content, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                  mode="edge")
-            y, cbcr = rgb_to_yuv420_host(content)
-            img = _yuv420_to_rgbf(push(y), jnp.asarray(cbcr))
+            img = _yuv420_to_rgbf(*self._upload_yuv420(content))
         else:
             img = push(content)
             img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img)
@@ -329,6 +327,39 @@ class WCTEngine:
         img, _ = _pad_to_multiple(img, mult_h, 16)
         sty, _ = _pad_to_multiple(sty, mult_h, 16)
         return img, sty, squeeze, orig, transport
+
+    @staticmethod
+    def _upload_yuv420(content: np.ndarray, *, bands: int | None = None):
+        """RGB uint8 (N, H, W, 3), H and W even -> device (Y, CbCr) planes.
+
+        For one big image the conversion is banded: the native RGB->4:2:0
+        loop converts band i while bands < i ride the link (two uploads in
+        flight — the relay's h2d sweet spot), so the ~0.45 s/UHD host
+        conversion hides under the ~1.4 s upload instead of preceding it.
+        Bands are even-height, so the chroma boxes — and hence the planes —
+        are identical to the whole-image conversion.
+        """
+        from ..utils.colorspace import rgb_to_yuv420_host
+
+        n, h, w, _ = content.shape
+        if bands is None:
+            bands = 4 if (n == 1 and h >= 1024 and h * w >= _YUV_AUTO_PIX) else 1
+        if bands <= 1:
+            y, cbcr = rgb_to_yuv420_host(content)
+            return push(y), jnp.asarray(cbcr)
+        rows = -(-h // bands)
+        rows += rows % 2  # even band heights keep chroma boxes band-local
+        bounds = [(a, min(a + rows, h)) for a in range(0, h, rows)]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as up:
+            dev = []
+            for a, b in bounds:
+                yb, cb = rgb_to_yuv420_host(content[:, a:b])
+                dev.append((up.submit(jnp.asarray, yb),
+                            up.submit(jnp.asarray, cb)))
+            y = jnp.concatenate([fy.result() for fy, _ in dev], axis=1)
+            c = jnp.concatenate([fc.result() for _, fc in dev], axis=1)
+        return y, c
 
     def _from_device(self, img, orig_hw, squeeze: bool, as_uint8: bool,
                      transport: str | None = None) -> np.ndarray:

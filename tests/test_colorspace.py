@@ -222,3 +222,18 @@ def test_auto_transport_float_input_uint8_output_stays_lossless(rng, monkeypatch
     out_auto = eng.stylize(c, s, alpha=0.5, as_uint8=True)
     out_rgb = eng.stylize(c, s, alpha=0.5, as_uint8=True, transport="rgb")
     np.testing.assert_array_equal(out_auto, out_rgb)
+
+
+def test_banded_yuv_upload_matches_whole(rng):
+    """The banded convert-while-uploading path must produce exactly the
+    planes the whole-image conversion produces (even bands keep every 2x2
+    chroma box inside one band)."""
+    import jax.numpy as jnp
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    x = (rng.random((1, 70, 36, 3)) * 255).astype(np.uint8)
+    x = x[:, :70 - (70 % 2), :, :]
+    y_ref, c_ref = rgb_to_yuv420_host(x)
+    y_b, c_b = WCTEngine._upload_yuv420(x, bands=4)
+    np.testing.assert_array_equal(np.asarray(y_b), y_ref)
+    np.testing.assert_array_equal(np.asarray(c_b), c_ref)
