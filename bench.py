@@ -104,12 +104,12 @@ def main():
     eng.stylize(cu, su, style_key="bench", as_uint8=True)
     results["uhd_compile_s"] = round(time.time() - t0, 1)
     log(f"UHD compile+first run: {results['uhd_compile_s']}s")
-    # min over 3 runs: the relay's d2h bandwidth swings 0.5-50 MB/s with
+    # min over 5 runs: the relay's d2h bandwidth swings 0.5-50 MB/s with
     # load (measured same-day); min is the least-congested estimate of the
-    # pipeline itself
+    # pipeline itself, and congestion spikes can last whole 3-run windows
     mpix = UHD_W * UHD_H / 1e6
     best_e2e = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         eng.stylize(cu, su, style_key="bench", as_uint8=True)
         best_e2e = min(best_e2e, time.time() - t0)
