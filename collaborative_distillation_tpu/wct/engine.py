@@ -474,7 +474,7 @@ class WCTEngine:
                 out = self._run_device(img, sty, alpha, num_run=num_run,
                                        style_key=key, as_uint8=as_uint8,
                                        pwct=False, orig_hw=orig_hw,
-                                       transport=transport)
+                                       transport=transport, stream_ok=False)
                 fetches.append(pool.submit(
                     self._from_device, out, orig_hw, squeeze, as_uint8,
                     transport))
@@ -486,10 +486,14 @@ class WCTEngine:
                 yield f.result()
 
     def _run_device(self, img, sty, alpha, *, num_run: int, style_key,
-                    as_uint8: bool, pwct: bool, orig_hw, transport=None):
+                    as_uint8: bool, pwct: bool, orig_hw, transport=None,
+                    stream_ok: bool = True):
         """Run the cascade on device-resident inputs; returns the (padded)
         device image, or a host uint8 array if a streaming path fetched it.
-        ``transport`` (resolved) picks the streamed tail's wire format."""
+        ``transport`` (resolved) picks the streamed tail's wire format;
+        ``stream_ok=False`` forces the monolithic program (stylize_pairs
+        overlaps readback across pairs itself — an in-call streamed fetch
+        would block its driving thread instead of computing the next pair)."""
         if pwct and (self.slab is not None or self._tiled_fn is not None
                      or self._fused_slab is not None):
             raise ValueError(
@@ -525,7 +529,8 @@ class WCTEngine:
             # fine bands — the d2h readback (the UHD bottleneck on this
             # link) overlaps the remaining bands' compute and the host-side
             # 4:2:0 reassembly instead of starting after everything else
-            stream = (as_uint8 and num_run == 1 and len(self.stages) > 0
+            stream = (stream_ok and as_uint8 and num_run == 1
+                      and len(self.stages) > 0
                       and img.shape[1] * img.shape[2] >= self.stream_min_pix)
             completed = 0
             try:
