@@ -118,9 +118,10 @@ def main():
     log(f"UHD end-to-end (default transport): {best_e2e:.2f}s = "
         f"{mpix / best_e2e:.2f} MPix/s")
 
-    # lossless RGB transport (3 B/px, bit-exact uint8 across the link)
+    # lossless RGB transport (3 B/px, bit-exact uint8 across the link);
+    # same run count as the default so congestion bias can't favor either
     best_rgb = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         eng.stylize(cu, su, style_key="bench", as_uint8=True, transport="rgb")
         best_rgb = min(best_rgb, time.time() - t0)

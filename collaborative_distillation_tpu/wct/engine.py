@@ -208,7 +208,8 @@ class WCTEngine:
                 self._fused_slab = build_fused_slab_cascade(
                     self.pyramid, stages=self.stages, slab_rows=slab_rows,
                     method=method, newton_iters=newton_iters, packed=packed,
-                    external_style_stats=True)
+                    external_style_stats=True,
+                    params=self.slab.packed_params if packed else None)
         if self.space:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh(space=self.space)
@@ -516,7 +517,8 @@ class WCTEngine:
                         self._stage_fns[key] = build_fused_slab_cascade(
                             self.pyramid, stages=self.stages, slab_rows=better,
                             method=self.method, newton_iters=self.newton_iters,
-                            packed=self.slab.packed, external_style_stats=True)
+                            packed=self.slab.packed, external_style_stats=True,
+                            params=fparams)
                     fn, fparams = self._stage_fns[key]
                     slab = better
                     hp = -(-img.shape[1] // slab) * slab
@@ -530,7 +532,6 @@ class WCTEngine:
             # link) overlaps the remaining bands' compute and the host-side
             # 4:2:0 reassembly instead of starting after everything else
             stream = (stream_ok and as_uint8 and num_run == 1
-                      and len(self.stages) > 0
                       and img.shape[1] * img.shape[2] >= self.stream_min_pix)
             completed = 0
             try:
@@ -542,7 +543,7 @@ class WCTEngine:
                             self.pyramid, stages=self.stages, slab_rows=slab,
                             method=self.method, newton_iters=self.newton_iters,
                             packed=self.slab.packed, external_style_stats=True,
-                            tail_stats=True)
+                            tail_stats=True, params=fparams)
                     head, hparams = self._stage_fns[key]
                     h_img, t, cm, sm = head(hparams, img, sstats, alpha)
                     emit = "yuv420" if transport == "yuv420" else "u8"
@@ -577,6 +578,11 @@ class WCTEngine:
                 # style statistics are precomputed once (and cached per
                 # style_key) instead of re-encoding the style through every
                 # encoder on every shard on every run
+                if sty.shape[0] > 1:
+                    raise ValueError(
+                        "spatial tiling is per-image (WCT statistics pool "
+                        "the batch); stylize pairs one at a time or use "
+                        "stylize_pairs for cross-pair pipelining")
                 mult = self._tiled_slab * self.space
                 hp = -(-img.shape[1] // mult) * mult
                 if hp != img.shape[1]:

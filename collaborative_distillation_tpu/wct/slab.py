@@ -59,6 +59,13 @@ __all__ = ["receptive_radius", "SlabCascade", "build_fused_slab_cascade"]
 _HIGH = lax.Precision.HIGHEST
 
 
+def _to_u8(x):
+    """The one float->uint8 output conversion (round-half-up); every output
+    path must use this so streamed and monolithic results stay comparable."""
+    return (jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * 255.0
+            + 0.5).astype(jnp.uint8)
+
+
 def receptive_radius(spec: StageSpec) -> int:
     """Receptive-field radius in input pixels of a stage spec (each 3x3 conv
     adds its current downsample factor; pools double it; decoder mirrors)."""
@@ -153,11 +160,15 @@ class SlabCascade:
 
     def __init__(self, pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
                  method: str = "eigh", newton_iters: int = 24, eps: float = 1e-8,
-                 packed: bool = False):
+                 packed: bool = False, packed_params=None):
         self.pyramid = pyramid
         self.packed = packed
         if packed:
-            self.packed_params = {
+            # ``packed_params``: share an existing packed tree (the engine
+            # builds several cascade variants over the same weights — a
+            # fresh pack per variant would duplicate every stage's params
+            # in HBM)
+            self.packed_params = packed_params if packed_params is not None else {
                 k: {"enc": pack_stage_params(pyramid[k]["enc"], pyramid[k]["enc_spec"]),
                     "dec": pack_stage_params(pyramid[k]["dec"], pyramid[k]["dec_spec"])}
                 for k in stages}
@@ -335,9 +346,7 @@ class SlabCascade:
             last_stage = k == self.stages[-1]
             if last_stage and to_host_uint8:
                 if "u8" not in self._apply_fns:
-                    self._apply_fns["u8"] = jax.jit(
-                        lambda x: (jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
-                                   * 255.0 + 0.5).astype(jnp.uint8))
+                    self._apply_fns["u8"] = jax.jit(_to_u8)
                 u8 = self._apply_fns["u8"]
                 from ..utils.transfer import fetch
                 host: list[np.ndarray] = []
@@ -378,8 +387,7 @@ class SlabCascade:
                 if emit == "yuv420":
                     from ..utils.colorspace import rgbf_to_yuv420_device
                     return rgbf_to_yuv420_device(dec)
-                return (jnp.clip(dec.astype(jnp.float32), 0.0, 1.0) * 255.0
-                        + 0.5).astype(jnp.uint8)
+                return _to_u8(dec)
 
             self._apply_fns[key] = jax.jit(f)
         return self._apply_fns[key]
@@ -403,14 +411,25 @@ class SlabCascade:
         m = self.margins[k]
         hp = img.shape[1]
         # 4:2:0 planes need even band heights (chroma boxes must not
-        # straddle bands); down_max==1 for a stage-1-only pyramid
-        gran = max(self.down_max, 2) if emit == "yuv420" else self.down_max
+        # straddle bands); an odd-granularity pyramid (stage-1-only with an
+        # odd slab size) may have no even banding at all — emit plain uint8
+        # RGB then (the caller's output contract is host RGB either way,
+        # only the wire format changes)
+        gran = self.down_max
+        if emit == "yuv420":
+            if hp % 2:
+                emit = "u8"
+            else:
+                gran = max(gran, 2) if gran % 2 else gran
         if rows is None:
             # ~8 bands, multiple of the pyramid granularity, dividing H
             target = max(2 * m, -(-hp // 8 // gran) * gran)
             rows = next((r for r in range(target, hp + 1, gran)
-                         if hp % r == 0), hp)
-        assert hp % rows == 0 and rows % gran == 0, (hp, rows, gran)
+                         if hp % r == 0 and r % gran == 0), hp)
+        if hp % rows or rows % gran:
+            rows = hp  # single band: always valid (hp is gran-granular or
+            #            the emit was already downgraded above)
+        assert hp % rows == 0, (hp, rows)
         n = hp // rows
         enc = self.packed_params[k]["enc"] if self.packed else self.pyramid[k]["enc"]
         dec = self.packed_params[k]["dec"] if self.packed else self.pyramid[k]["dec"]
@@ -449,7 +468,7 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                              eps: float = 1e-8, packed: bool = False,
                              feature_cache_bytes: int = 5_000_000_000,
                              external_style_stats: bool = False,
-                             tail_stats: bool = False):
+                             tail_stats: bool = False, params=None):
     """One compiled program for the whole slab cascade.
 
     The per-slab python loops of :class:`SlabCascade` become ``lax.scan``s
@@ -482,12 +501,16 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     overlapping the slow d2h readback with compute instead of serializing
     them after a monolithic program.
     """
+    # ``params``: pass an existing (packed) param tree to avoid re-packing a
+    # second device-resident copy — the engine shares one tree between its
+    # mono program, head program, and SlabCascade
     helper = SlabCascade(pyramid, stages=stages, slab_rows=slab_rows,
                          method=method, newton_iters=newton_iters, eps=eps,
-                         packed=packed)
+                         packed=packed, packed_params=params if packed else None)
     slab, m = helper.slab_rows, helper.margin
-    params = helper.packed_params if packed else {
-        k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
+    if params is None:
+        params = helper.packed_params if packed else {
+            k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
 
     def _encode(pk, sl, spec):
         """(features, packing factor) for one extended slab."""

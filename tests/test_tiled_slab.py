@@ -166,3 +166,19 @@ def test_tiny_slab_request_rounds_up(pyramid, imgs):
     cp = jnp.pad(c, ((0, 0), (0, hp - c.shape[1]), (0, 0), (0, 0)), mode="reflect")
     out = fn(params, cp, s, 1.0)
     assert out.shape == cp.shape
+
+
+def test_engine_space_slab_rejects_batched_styles(pyramid, imgs):
+    """The tiled path pools WCT statistics over the batch, so batched styles
+    cannot get per-image coloring — the engine must say so instead of
+    tracing a shape error (regression guard for the external-stats change)."""
+    import pytest
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    c, s = imgs
+    cb = np.concatenate([np.asarray(c), np.asarray(c)], axis=0)
+    sb = np.concatenate([np.asarray(s), np.asarray(s)], axis=0)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=STAGES, space=4,
+                    slab_rows=48, packed=False)
+    with pytest.raises(ValueError, match="per-image"):
+        eng.stylize(cb, sb, alpha=0.9)
