@@ -107,10 +107,25 @@ def main(argv=None) -> int:
             yield ((c * 255).astype(np.uint8), (s * 255).astype(np.uint8))
 
     keys = (dataset.pairs[i][1] for i in range(len(dataset)))
+
+    def results():
+        if len(dataset) == 1:
+            # single pair (the reference's flagship UHD use): there is no
+            # cross-pair pipeline to feed, so call stylize directly — the
+            # engine's streamed final stage then overlaps the readback with
+            # the last stage's compute (stylize_pairs keeps the monolithic
+            # program, by design)
+            (c, s), key = next(iter(zip(pair_gen(), keys)))
+            yield engine.stylize(c, s, alpha=args.alpha,
+                                 num_run=args.num_run, style_key=key,
+                                 as_uint8=True)
+        else:
+            yield from engine.stylize_pairs(
+                pair_gen(), alpha=args.alpha, num_run=args.num_run,
+                style_keys=keys)
+
     t_prev = time.time()
-    for i, out in enumerate(engine.stylize_pairs(
-            pair_gen(), alpha=args.alpha, num_run=args.num_run,
-            style_keys=keys)):
+    for i, out in enumerate(results()):
         name, cshape = meta.popleft()
         log("*" * 30 + f' #{i}: Transferred "{name}"')
         out_name = f"{args.log_mark}_mode={args.mode}_alpha={args.alpha}_{name}"
