@@ -53,7 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--updim_relu", action="store_true")
     ap.add_argument("--mode", type=str, required=True,
                     choices=["wct_se", "wct_sd", "wct_sd_kd2sd"])
-    ap.add_argument("--stage", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--stage", type=int, required=True,
+                    choices=[0, 1, 2, 3, 4, 5],
+                    help="pyramid stage to train; 0 = all five stages "
+                         "sequentially 5..1 (the README.md:69-85 workflow "
+                         "as one command; per-stage --BE/--BD/--SE/--SD "
+                         "overrides don't apply then)")
     ap.add_argument("--max_steps", type=int, default=0,
                     help="stop after N steps (0 = run all epochs); for smoke runs")
     ap.add_argument("--data_parallel", type=int, default=0,
@@ -64,7 +69,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.stage == 0:
+        if args.BE or args.BD or args.SE or args.SD:
+            raise SystemExit("--stage 0 (all stages) uses the default "
+                             "per-stage weight paths; explicit --BE/--BD/"
+                             "--SE/--SD apply to a single stage only")
+        for k in (5, 4, 3, 2, 1):
+            rc = _run_stage(args, k)
+            if rc:
+                return rc
+        return 0
+    return _run_stage(args, args.stage)
 
+
+def _run_stage(args, stage: int) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -77,7 +95,7 @@ def main(argv=None) -> int:
     from ..utils.image import save_image_grid
     from ..utils.logging import Experiment, LossMeter, Throughput, resolve_path
 
-    k = args.stage
+    k = stage
     root = args.weights_root or default_weights_root()
     exp = Experiment(args.project_name or f"{args.mode}_s{k}",
                      debug=args.debug, to_screen=args.screen or args.debug)

@@ -109,3 +109,42 @@ def test_imgtools(tmp_path):
     assert Image.open(tmp_path / "a_cropped.jpg").size == (60, 60)
     assert main(["resize", str(tmp_path), "--size", "32", "16"]) == 0
     assert Image.open(tmp_path / "a_resized.jpg").size == (32, 16)
+
+
+def test_eval_cli(tmp_path, weights_root):
+    """Per-stage reconstruction PSNR tool runs on the converted 16x weights;
+    shallow stages must reconstruct better than deep ones."""
+    from collaborative_distillation_tpu.cli.eval import main, psnr
+
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        Image.fromarray((rng.random((80, 80, 3)) * 255).astype(np.uint8)
+                        ).save(tmp_path / f"{i}.jpg")
+    rc = main(["--mode", "16x", "--images", str(tmp_path), "--n_images", "2",
+               "--size", "64", "--stages", "2", "1",
+               "--weights_root", weights_root])
+    assert rc == 0
+    # psnr helper sanity
+    a = np.zeros((4, 4)); b = np.full((4, 4), 0.1)
+    assert abs(psnr(a, b) - 20.0) < 1e-6
+    assert psnr(a, a) == float("inf")
+
+
+def test_train_stage0_runs_all_stages(monkeypatch):
+    """--stage 0 loops 5..1 through _run_stage and rejects per-stage weight
+    overrides (they would silently apply to every stage)."""
+    import pytest
+    from collaborative_distillation_tpu.cli import train as t
+
+    ran = []
+    monkeypatch.setattr(t, "_run_stage", lambda args, k: ran.append(k) or 0)
+    assert t.main(["--mode", "wct_se", "--stage", "0"]) == 0
+    assert ran == [5, 4, 3, 2, 1]
+    with pytest.raises(SystemExit, match="single stage"):
+        t.main(["--mode", "wct_se", "--stage", "0", "--SE", "x.npz"])
+    # a failing stage stops the chain
+    ran.clear()
+    monkeypatch.setattr(t, "_run_stage",
+                        lambda args, k: ran.append(k) or (1 if k == 4 else 0))
+    assert t.main(["--mode", "wct_se", "--stage", "0"]) == 1
+    assert ran == [5, 4]
