@@ -430,7 +430,11 @@ class WCTEngine:
         sty, _ = _pad_to_multiple(sty, mult_h, 16)
         out = self._run_device(img, sty, alpha, num_run=num_run,
                                style_key=style_key, as_uint8=False,
-                               pwct=False, orig_hw=orig_hw)
+                               pwct=False, orig_hw=orig_hw, emit_planes=True)
+        if isinstance(out, tuple):  # streamed: host planes already
+            yo, co = out
+            return (yo[0, : orig_hw[0], : orig_hw[1]],
+                    co[0, : orig_hw[0] // 2, : orig_hw[1] // 2])
         out = out[:, : orig_hw[0], : orig_hw[1], :]
         yo, co = _rgbf_to_yuv420(out)
         return fetch(yo)[0], fetch(co)[0]
@@ -488,7 +492,7 @@ class WCTEngine:
 
     def _run_device(self, img, sty, alpha, *, num_run: int, style_key,
                     as_uint8: bool, pwct: bool, orig_hw, transport=None,
-                    stream_ok: bool = True):
+                    stream_ok: bool = True, emit_planes: bool = False):
         """Run the cascade on device-resident inputs; returns the (padded)
         device image, or a host uint8 array if a streaming path fetched it.
         ``transport`` (resolved) picks the streamed tail's wire format;
@@ -531,7 +535,8 @@ class WCTEngine:
             # fine bands — the d2h readback (the UHD bottleneck on this
             # link) overlaps the remaining bands' compute and the host-side
             # 4:2:0 reassembly instead of starting after everything else
-            stream = (stream_ok and as_uint8 and num_run == 1
+            stream = (stream_ok and (as_uint8 or emit_planes)
+                      and num_run == 1
                       and img.shape[1] * img.shape[2] >= self.stream_min_pix)
             completed = 0
             try:
@@ -546,7 +551,8 @@ class WCTEngine:
                             tail_stats=True, params=fparams)
                     head, hparams = self._stage_fns[key]
                     h_img, t, cm, sm = head(hparams, img, sstats, alpha)
-                    emit = "yuv420" if transport == "yuv420" else "u8"
+                    emit = ("planes" if emit_planes
+                            else "yuv420" if transport == "yuv420" else "u8")
                     return self.slab.stream_last_stage(h_img, t, cm, sm, alpha,
                                                        emit=emit)
                 while completed < num_run:

@@ -373,7 +373,8 @@ class SlabCascade:
 
     def _tail_fn(self, k, emit: str, interior: int):
         """Jitted: one extended slab -> last-stage apply -> interior rows ->
-        device-side uint8 RGB (emit='u8') or 4:2:0 planes (emit='yuv420')."""
+        device-side uint8 RGB (emit='u8') or 4:2:0 planes (emit='yuv420',
+        reassembled to RGB on the host, or 'planes', returned as planes)."""
         key = ("tail", k, emit, interior)
         if key not in self._apply_fns:
             enc_spec = self.pyramid[k]["enc_spec"]
@@ -384,7 +385,7 @@ class SlabCascade:
                 dec = base(ek, dk, sl, off, t, cm, sm, alpha,
                            enc_spec=enc_spec, dec_spec=dec_spec,
                            interior=interior)
-                if emit == "yuv420":
+                if emit in ("yuv420", "planes"):
                     from ..utils.colorspace import rgbf_to_yuv420_device
                     return rgbf_to_yuv420_device(dec)
                 return _to_u8(dec)
@@ -405,7 +406,9 @@ class SlabCascade:
         interiors are the same rows the monolithic apply produces. Readback
         (the UHD bottleneck on a slow link: 126 MB RGB / 63 MB 4:2:0) and
         the host-side 4:2:0->RGB reassembly overlap the remaining bands'
-        device compute. Returns host uint8 RGB (1, H, W, 3).
+        device compute. Returns host uint8 RGB (1, H, W, 3) — or, with
+        ``emit='planes'``, host 4:2:0 planes ``(Y (1,H,W), CbCr
+        (1,H/2,W/2,2))`` for JPEG-native serving (no RGB reassembly at all).
         """
         k = self.stages[-1]
         m = self.margins[k]
@@ -421,6 +424,11 @@ class SlabCascade:
                 emit = "u8"
             else:
                 gran = max(gran, 2) if gran % 2 else gran
+        elif emit == "planes":
+            # plane output has no RGB fallback; the caller guarantees even
+            # padded dims (stylize_planes pads to 16)
+            assert hp % 2 == 0 and img.shape[2] % 2 == 0, img.shape
+            gran = max(gran, 2) if gran % 2 else gran
         if rows is None:
             # ~8 bands, multiple of the pyramid granularity, dividing H
             target = max(2 * m, -(-hp // 8 // gran) * gran)
@@ -448,6 +456,9 @@ class SlabCascade:
         from ..utils.transfer import fetch
 
         def collect(d):
+            if emit == "planes":
+                return (fetch(d[0], min_bytes=1 << 20, chunks=8),
+                        fetch(d[1], min_bytes=1 << 20, chunks=4))
             if emit == "yuv420":
                 from ..utils.colorspace import yuv420_to_rgb_host
                 y = fetch(d[0], min_bytes=1 << 20, chunks=8)
@@ -456,11 +467,15 @@ class SlabCascade:
             return fetch(d, min_bytes=1 << 20, chunks=16)
 
         if n == 1:
-            return collect(devs[0])
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(3) as ex:
-            outs = list(ex.map(collect, devs))
-        return np.concatenate(outs, axis=1)
+            outs = [collect(devs[0])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(3) as ex:
+                outs = list(ex.map(collect, devs))
+        if emit == "planes":
+            return (np.concatenate([o[0] for o in outs], axis=1),
+                    np.concatenate([o[1] for o in outs], axis=1))
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
 
 
 def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,

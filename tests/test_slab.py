@@ -305,3 +305,26 @@ def test_streamed_tail_packed_and_float_input(rng):
     f_ref = mono.stylize(c, s, alpha=1.0, style_key="x")
     f_out = streamed.stylize(c, s, alpha=1.0, style_key="x")
     np.testing.assert_allclose(f_out, f_ref, atol=1e-6)
+
+
+def test_streamed_planes_match_monolithic(rng):
+    """stylize_planes through the streamed tail (emit='planes') returns the
+    same 4:2:0 planes as the monolithic device conversion."""
+    from collaborative_distillation_tpu.utils.colorspace import rgb_to_yuv420_host
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=14)
+    c = (rng.random((96, 32, 3)) * 255).astype(np.uint8)
+    s = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    y_in, c_in = rgb_to_yuv420_host(c[None])
+    mono = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                     slab_rows=32, fused=True, packed=False,
+                     stream_min_pix=1 << 60)
+    streamed = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                         slab_rows=32, fused=True, packed=False,
+                         stream_min_pix=0)
+    ry, rc_ = mono.stylize_planes(y_in[0], c_in[0], s, alpha=0.8, style_key="p")
+    sy, sc_ = streamed.stylize_planes(y_in[0], c_in[0], s, alpha=0.8, style_key="p")
+    assert sy.shape == ry.shape and sc_.shape == rc_.shape
+    assert np.abs(sy.astype(int) - ry.astype(int)).max() <= 1
+    assert np.abs(sc_.astype(int) - rc_.astype(int)).max() <= 1
