@@ -123,3 +123,44 @@ def test_style_registry_lru_eviction(tiny_registry_server, rng):
     content = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
     code, body, _ = _post(url + "/stylize?style=a", _jpeg_bytes(content))
     assert code == 400 and b"unknown style" in body
+
+
+def test_concurrent_reregistration_cannot_poison_stats(server, rng):
+    """Hammer re-registrations of one style name with different images while
+    stylize requests race them. The generation-keyed registry must (a) never
+    error, (b) leave the server consistent: after settling, identical
+    requests return identical bytes, equal to a fresh registration of the
+    same final image (a stale-stats poisoning of the final generation's
+    cache would break that equality)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    styles = [(rng.random((32, 32, 3)) * 255).astype(np.uint8)
+              for _ in range(6)]
+    content = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    cbytes = _jpeg_bytes(content)
+
+    def register(i):
+        code, _, _ = _post(server + "/style/stress", _jpeg_bytes(styles[i % 6]))
+        return code
+
+    def stylize(_):
+        code, _, _ = _post(server + "/stylize?style=stress", cbytes)
+        return code
+
+    with ThreadPoolExecutor(6) as ex:
+        codes = list(ex.map(register, range(12))) + list(
+            ex.map(stylize, range(12)))
+    assert all(c == 200 for c in codes), codes
+
+    # settle on a known final image
+    final = styles[3]
+    assert _post(server + "/style/stress", _jpeg_bytes(final))[0] == 200
+    a = _post(server + "/stylize?style=stress&alpha=0.9", cbytes)
+    b = _post(server + "/stylize?style=stress&alpha=0.9", cbytes)
+    assert a[0] == b[0] == 200 and a[1] == b[1]
+    # a brand-new generation of the same image must agree (fresh stats)
+    assert _post(server + "/style/stress", _jpeg_bytes(final))[0] == 200
+    c = _post(server + "/stylize?style=stress&alpha=0.9", cbytes)
+    assert c[0] == 200 and c[1] == a[1]
+    with urllib.request.urlopen(server + "/healthz") as resp:
+        assert json.loads(resp.read())["ok"]
