@@ -95,6 +95,24 @@ def main():
     eng = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True)
     cu, su = load_pair(UHD_W, UHD_H)
 
+    # record the relay's condition next to the e2e numbers: the dev tunnel
+    # swings 0.5-50 MB/s with load (full collapses observed), and e2e is
+    # link-dominated — without this context a congested-window number would
+    # be indistinguishable from a pipeline regression
+    try:
+        from collaborative_distillation_tpu.utils.transfer import fetch
+        probe = np.ones((512, 4096, 3), np.uint8)  # 6 MB
+        t0 = time.time()
+        d = jnp.asarray(probe); np.asarray(d[0, 0, 0])
+        results["relay_h2d_mbps"] = round(probe.nbytes / (time.time() - t0) / 1e6, 1)
+        t0 = time.time()
+        fetch(d, min_bytes=1 << 20)
+        results["relay_d2h_mbps"] = round(probe.nbytes / (time.time() - t0) / 1e6, 1)
+        log(f"relay probe: h2d {results['relay_h2d_mbps']} MB/s, "
+            f"d2h {results['relay_d2h_mbps']} MB/s")
+    except Exception as e:  # noqa: BLE001 — the probe must never kill the bench
+        log(f"relay probe failed: {e}")
+
     # end-to-end, default transport: uint8 in/out, which at UHD rides the
     # link as JPEG-native 4:2:0 planes (1.5 B/px; native fixed-point
     # conversion, +-1 LSB of the float math) — the pipeline endpoints are
