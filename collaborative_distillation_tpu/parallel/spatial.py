@@ -385,14 +385,6 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
     pyramid granularity; use ``SlabCascade.pick_slab_rows`` + reflect-pad) and
     the style small enough to encode whole (it is replicated per shard).
     """
-    from ..models.packed_vgg import (
-        apply_decoder_packed,
-        apply_encoder_packed,
-        pack_stage_params,
-        packed_feature_stats,
-        packed_wct_apply,
-    )
-    from ..models.vgg import apply_decoder, apply_encoder
     from ..wct.slab import SlabCascade
 
     n_space = mesh.shape["space"]
@@ -414,44 +406,17 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
     # mean fewer ppermute bytes over ICI and less recompute per slab.
     params = helper.packed_params if packed else {
         k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
-    _HIGH = lax.Precision.HIGHEST
+    # one shared implementation with the single-chip fused cascade (a stats
+    # or packing fix must not be able to drift between the two paths)
+    from ..wct.slab import (
+        _color_decode_feats,
+        _encode_any,
+        _stats_from_feats,
+        _style_stats_whole,
+    )
 
     def _encode(pk, sl, spec):
-        if packed:
-            return apply_encoder_packed(pk, sl, spec)
-        return apply_encoder(pk, sl, spec)["out"], 1
-
-    def _stats_from(feats, f, c, offset_f, interior_f):
-        inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
-        n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
-        x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
-        if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
-            # same single-pass fused sum+gram kernel as the single-chip
-            # fused cascade (1.58x XLA, measured; HIGHEST-precision gram)
-            from ..ops.pallas.stats import fused_sum_gram
-            s, gram = fused_sum_gram(x)
-        else:
-            s = jnp.sum(x, axis=0)
-            gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
-                                   preferred_element_type=jnp.float32)
-        s1 = s.reshape(f, c).sum(axis=0)
-        if f > 1:
-            gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
-        return s1, gram, n_px
-
-    def _color_decode(feats, f, dk, spec_d, t, c_mean, s_mean, alpha, offset):
-        c = t.shape[0]
-        if packed:
-            csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
-            dec = apply_decoder_packed(dk, csf, f, spec_d)
-        else:
-            shape, dtype = feats.shape, feats.dtype
-            x = feats.reshape(-1, c).astype(jnp.float32)
-            target = _mm(x - c_mean, t.T) + s_mean
-            a = jnp.asarray(alpha, jnp.float32)
-            csf = (a * target + (1.0 - a) * x).reshape(shape).astype(dtype)
-            dec = apply_decoder(dk, csf, spec_d)["out"]
-        return lax.dynamic_slice_in_dim(dec, offset, slab, axis=1)
+        return _encode_any(pk, sl, spec, packed)
 
     def per_shard(p, img, style, alpha):
         h_loc = img.shape[1]
@@ -499,16 +464,8 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
                 s_cov = s_cov.astype(jnp.float32)
             else:
                 # style statistics: style replicated; identical on every shard
-                s_feats, sf = _encode(p[k]["enc"], style, spec_e)
-                if packed:
-                    s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
-                else:
-                    x2 = s_feats.reshape(-1, c).astype(jnp.float32)
-                    s_mean = jnp.mean(x2, axis=0)
-                    xc = x2 - s_mean
-                    s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
-                                            precision=_HIGH,
-                                            preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+                s_mean, s_cov = _style_stats_whole(p[k]["enc"], style, spec_e,
+                                                   c, packed)
 
             ext = _exchange_row_halos(img, hm, "space")
             rows = slab + hm
@@ -520,7 +477,8 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
                 start, off = coords(i)
                 sl = lax.dynamic_slice_in_dim(_ext, start, rows, axis=1)
                 feats, f = _encode(_pk, sl, _spec)
-                a, b, n_px = _stats_from(feats, f, _c, off // _down, _interior)
+                a, b, n_px = _stats_from_feats(feats, f, _c, off // _down,
+                                               _interior)
                 return (s1 + a, s2 + b, cnt + jnp.float32(n_px)), None
 
             # carry accumulators vary over the image's mesh axes (each shard
@@ -546,8 +504,8 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
                 start, off = coords(i)
                 sl = lax.dynamic_slice_in_dim(_ext, start, rows, axis=1)
                 feats, f = _encode(_ek, sl, _spec)
-                dec = _color_decode(feats, f, _dk, _spec_d, _t, _cm, _sm,
-                                    alpha, off)
+                dec = _color_decode_feats(feats, f, _dk, _spec_d, _t, _cm, _sm,
+                                          alpha, off, slab, packed)
                 return lax.dynamic_update_slice(
                     out_img, dec.astype(out_img.dtype), (0, i * slab, 0, 0)), None
 

@@ -319,6 +319,12 @@ class WCTEngine:
                                  mode="edge")
             img = _yuv420_to_rgbf(*self._upload_yuv420(content))
         else:
+            if transport == "yuv420":
+                # explicit yuv420 with float (or device-resident) content:
+                # the input leg can't take the 4:2:0 path, and the two legs
+                # must agree — downgrade so lossless input never gets a
+                # chroma-lossy output
+                transport = "rgb"
             img = push(content)
             img = (self._u8_to_float(img) if img.dtype == jnp.uint8 else img)
         img = img.astype(self.dtype)
@@ -457,8 +463,12 @@ class WCTEngine:
         import itertools
         from concurrent.futures import ThreadPoolExecutor
 
-        keys = iter(style_keys) if style_keys is not None else itertools.repeat(None)
-        stream = iter(zip(pairs, keys))
+        if style_keys is not None:
+            # strict: a keys iterable shorter than pairs would otherwise
+            # silently truncate the stream (zip stops at the shorter side)
+            stream = iter(zip(pairs, style_keys, strict=True))
+        else:
+            stream = iter(zip(pairs, itertools.repeat(None)))
 
         def prep():
             item = next(stream, None)
@@ -485,7 +495,7 @@ class WCTEngine:
                     transport))
                 # bound in-flight device images (HBM) to 2; results stream
                 # out in order as their readbacks land
-                if len(fetches) > 2:
+                if len(fetches) >= 2:
                     yield fetches.pop(0).result()
             for f in fetches:
                 yield f.result()
@@ -505,7 +515,23 @@ class WCTEngine:
                 "pwct=True is only supported on the plain per-stage path; "
                 "construct the engine without slab_rows/space for photo-WCT")
         alpha = jnp.asarray(alpha, jnp.float32)
-        if self._fused_slab is not None:
+        if ((self._fused_slab is not None or self.slab is not None
+             or self._tiled_fn is not None)
+                and (img.shape[0] > 1 or sty.shape[0] > 1)):
+            # their statistics passes flatten the batch into one (mean, cov),
+            # whitening each image with the others' statistics — silently
+            # wrong. The plain path vmaps per image; the UHD paths are
+            # per-image by design.
+            raise ValueError(
+                "the slab/tiled ultra-resolution paths are per-image (WCT "
+                "statistics would pool the batch); stylize pairs one at a "
+                "time or use stylize_pairs for cross-pair pipelining")
+        # an image smaller than one slab gains nothing from the slab
+        # structure but would pay 2*margin-plus rows of reflect padding
+        # (e.g. thumbnails hitting a --slab_rows server): use the plain
+        # per-stage cascade below
+        small = self.slab is not None and img.shape[1] < 2 * self.slab.margin
+        if self._fused_slab is not None and not small:
             fn, fparams = self._fused_slab
             # pad H to slab granularity (one program shape per padded H)
             slab = self.slab.slab_rows
@@ -572,7 +598,7 @@ class WCTEngine:
                 for i in range(completed, num_run):
                     stream = as_uint8 and i == num_run - 1
                     img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)
-        elif self.slab is not None:
+        elif self.slab is not None and not small:
             for i in range(num_run):
                 stream = as_uint8 and i == num_run - 1
                 img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)
@@ -584,11 +610,6 @@ class WCTEngine:
                 # style statistics are precomputed once (and cached per
                 # style_key) instead of re-encoding the style through every
                 # encoder on every shard on every run
-                if sty.shape[0] > 1:
-                    raise ValueError(
-                        "spatial tiling is per-image (WCT statistics pool "
-                        "the batch); stylize pairs one at a time or use "
-                        "stylize_pairs for cross-pair pipelining")
                 mult = self._tiled_slab * self.space
                 hp = -(-img.shape[1] // mult) * mult
                 if hp != img.shape[1]:

@@ -66,6 +66,69 @@ def _to_u8(x):
             + 0.5).astype(jnp.uint8)
 
 
+# ---- shared fused-cascade building blocks (also used by the multi-chip
+#      build_tiled_slab_cascade in parallel/spatial.py — one implementation,
+#      so a stats/packing fix can't silently drift between the paths) ----
+
+def _encode_any(pk, sl, spec: StageSpec, packed: bool):
+    """(features, packing factor) for one (extended) slab."""
+    if packed:
+        return apply_encoder_packed(pk, sl, spec)
+    return apply_encoder(pk, sl, spec)["out"], 1
+
+
+def _stats_from_feats(feats, f, c, offset_f, interior_f):
+    """(sum(C), gram(C,C), n_pixels) over the interior feature rows of a
+    (possibly width-packed) feature slab. On TPU with lane-dense widths the
+    single-pass fused Pallas sum+gram kernel applies (measured 1.58x the XLA
+    two-reduction at P=10.5M, C=128; HIGHEST-precision gram either way)."""
+    inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
+    n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
+    x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
+    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+        from ..ops.pallas.stats import fused_sum_gram
+        s, gram = fused_sum_gram(x)
+    else:
+        s = jnp.sum(x, axis=0)
+        gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
+                               preferred_element_type=jnp.float32)
+    s1 = s.reshape(f, c).sum(axis=0)
+    if f > 1:
+        gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
+    return s1, gram, n_px
+
+
+def _color_decode_feats(feats, f, dk, spec_d: StageSpec, t, c_mean, s_mean,
+                        alpha, offset, interior: int, packed: bool):
+    """WCT-color + decode one feature slab, slice ``interior`` output rows
+    starting at ``offset`` (image scale)."""
+    c = t.shape[0]
+    if packed:
+        csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
+        dec = apply_decoder_packed(dk, csf, f, spec_d)
+    else:
+        shape, dtype = feats.shape, feats.dtype
+        x = feats.reshape(-1, c).astype(jnp.float32)
+        target = _mm(x - c_mean, t.T) + s_mean
+        a = jnp.asarray(alpha, jnp.float32)
+        csf = (a * target + (1.0 - a) * x).reshape(shape).astype(dtype)
+        dec = apply_decoder(dk, csf, spec_d)["out"]
+    return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
+
+
+def _style_stats_whole(pk, style, spec: StageSpec, c, packed: bool):
+    """(mean, cov) of a whole (small) style image's stage features."""
+    s_feats, sf = _encode_any(pk, style, spec, packed)
+    if packed:
+        return packed_feature_stats(s_feats, sf, c)
+    x2 = s_feats.reshape(-1, c).astype(jnp.float32)
+    s_mean = jnp.mean(x2, axis=0)
+    xc = x2 - s_mean
+    s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())), precision=_HIGH,
+                            preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+    return s_mean, s_cov
+
+
 def receptive_radius(spec: StageSpec) -> int:
     """Receptive-field radius in input pixels of a stage spec (each 3x3 conv
     adds its current downsample factor; pools double it; decoder mirrors)."""
@@ -324,19 +387,23 @@ class SlabCascade:
             s_mean, s_cov = self._style_stats(k, style)
             enc_in = self.packed_params[k]["enc"] if self.packed else enc
             dec_in = self.packed_params[k]["dec"] if self.packed else dec
-            # pass 1: exact global content stats from interior feature rows
-            s1 = s2 = None
-            count = 0
+            # pass 1: exact global content stats from interior feature rows.
+            # The packed path's pixel count stays a device scalar — int()ing
+            # it here would force a host sync per slab, serializing dispatch
+            # (every launch is an RPC on the remote relay)
+            s1 = s2 = count = None
             stats = self._stats_fn(k)
             for start, rows, off in self._slabs(hp, k):
                 r = stats(enc_in,
                           lax.dynamic_slice_in_dim(img, start, rows, axis=1),
                           jnp.int32(off // down))
                 a, b = r[0], r[1]
-                count += int(r[2]) if len(r) > 2 else 0
+                c = r[2] if len(r) > 2 else None
                 s1 = a if s1 is None else s1 + a
                 s2 = b if s2 is None else s2 + b
-            if not count:
+                if c is not None:
+                    count = c if count is None else count + c
+            if count is None:
                 count = n_slabs * (slab // down) * (img.shape[2] // down)
             c_mean = s1 / count
             c_cov = (s2 - count * jnp.outer(c_mean, c_mean)) / (count - 1)
@@ -528,40 +595,7 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
             k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
 
     def _encode(pk, sl, spec):
-        """(features, packing factor) for one extended slab."""
-        if packed:
-            return apply_encoder_packed(pk, sl, spec)
-        return apply_encoder(pk, sl, spec)["out"], 1
-
-    def _stats_from(feats, f, c, offset_f, interior_f):
-        inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
-        n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
-        x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
-        if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
-            from ..ops.pallas.stats import fused_sum_gram
-            s, gram = fused_sum_gram(x)
-        else:
-            s = jnp.sum(x, axis=0)
-            gram = lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=_HIGH,
-                                   preferred_element_type=jnp.float32)
-        s1 = s.reshape(f, c).sum(axis=0)
-        if f > 1:
-            gram = jnp.einsum("icid->cd", gram.reshape(f, c, f, c), precision=_HIGH)
-        return s1, gram, n_px
-
-    def _color_decode(feats, f, dk, spec_d, t, c_mean, s_mean, alpha, offset):
-        c = t.shape[0]
-        if packed:
-            csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
-            dec = apply_decoder_packed(dk, csf, f, spec_d)
-        else:
-            shape, dtype = feats.shape, feats.dtype
-            x = feats.reshape(-1, c).astype(jnp.float32)
-            target = _mm(x - c_mean, t.T) + s_mean
-            a = jnp.asarray(alpha, jnp.float32)
-            csf = (a * target + (1.0 - a) * x).reshape(shape).astype(dtype)
-            dec = apply_decoder(dk, csf, spec_d)["out"]
-        return lax.dynamic_slice_in_dim(dec, offset, slab, axis=1)
+        return _encode_any(pk, sl, spec, packed)
 
     def fn(p, img, style, alpha):
         h = img.shape[1]
@@ -581,16 +615,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                 s_cov = s_cov.astype(jnp.float32)
             else:
                 # style statistics (style is small; encoded whole)
-                s_feats, sf = _encode(p[k]["enc"], style, spec_e)
-                if packed:
-                    s_mean, s_cov = packed_feature_stats(s_feats, sf, c)
-                else:
-                    x2 = s_feats.reshape(-1, c).astype(jnp.float32)
-                    s_mean = jnp.mean(x2, axis=0)
-                    xc = x2 - s_mean
-                    s_cov = lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
-                                            precision=_HIGH,
-                                            preferred_element_type=jnp.float32) / (x2.shape[0] - 1)
+                s_mean, s_cov = _style_stats_whole(p[k]["enc"], style, spec_e,
+                                                   c, packed)
 
             last_is_tail = tail_stats and k == stages[-1]
             interior_f = slab // down
@@ -600,7 +626,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
             # program, so stacking its features would only burn HBM
             probe = jax.eval_shape(
                 lambda s_, _pk=p[k]["enc"]: _encode(_pk, s_, spec_e)[0],
-                jax.ShapeDtypeStruct((1, rows, img.shape[2], 3), img.dtype))
+                jax.ShapeDtypeStruct((img.shape[0], rows, img.shape[2], 3),
+                                     img.dtype))
             feat_bytes = n_slabs * int(np.prod(probe.shape)) * 4
             cache = feat_bytes <= feature_cache_bytes and not last_is_tail
 
@@ -609,7 +636,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                 s1, s2, cnt = carry
                 sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
                 feats, f = _encode(_pk, sl, spec_e)
-                a, b, n_px = _stats_from(feats, f, _c, offs[i] // _down, _interior)
+                a, b, n_px = _stats_from_feats(feats, f, _c, offs[i] // _down,
+                                               _interior)
                 out = feats if _cache else None
                 return (s1 + a, s2 + b, cnt + jnp.float32(n_px)), out
 
@@ -632,7 +660,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                     i = xs
                     sl = lax.dynamic_slice_in_dim(_img, starts[i], rows, axis=1)
                     feats, f = _encode(_ek, sl, spec_e)
-                dec = _color_decode(feats, f, _dk, spec_d, _t, _cm, _sm, alpha, offs[i])
+                dec = _color_decode_feats(feats, f, _dk, spec_d, _t, _cm, _sm,
+                                          alpha, offs[i], slab, packed)
                 return lax.dynamic_update_slice(
                     out_img, dec.astype(out_img.dtype), (0, i * slab, 0, 0)), None
 

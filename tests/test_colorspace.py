@@ -237,3 +237,26 @@ def test_banded_yuv_upload_matches_whole(rng):
     y_b, c_b = WCTEngine._upload_yuv420(x, bands=4)
     np.testing.assert_array_equal(np.asarray(y_b), y_ref)
     np.testing.assert_array_equal(np.asarray(c_b), c_ref)
+
+
+def test_explicit_yuv_transport_with_float_input_stays_lossless(rng):
+    """transport='yuv420' with float content can't take the 4:2:0 input leg;
+    the output leg must then downgrade too — lossless float input never
+    gets chroma-lossy output."""
+    from collaborative_distillation_tpu.models import (
+        decoder_spec, encoder_spec, init_params)
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+    import jax as _jax
+
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, _jax.random.key(0)),
+                   "dec": init_params(dspec, _jax.random.key(1))}}
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(1,),
+                    transport="yuv420")
+    c = rng.random((32, 32, 3)).astype(np.float32)
+    s = rng.random((32, 32, 3)).astype(np.float32)
+    out_yuv_cfg = eng.stylize(c, s, alpha=0.5, as_uint8=True)
+    out_rgb = eng.stylize(c, s, alpha=0.5, as_uint8=True, transport="rgb")
+    np.testing.assert_array_equal(out_yuv_cfg, out_rgb)

@@ -328,3 +328,55 @@ def test_streamed_planes_match_monolithic(rng):
     assert sy.shape == ry.shape and sc_.shape == rc_.shape
     assert np.abs(sy.astype(int) - ry.astype(int)).max() <= 1
     assert np.abs(sc_.astype(int) - rc_.astype(int)).max() <= 1
+
+
+def test_slab_paths_reject_batched_inputs(rng):
+    """The slab/tiled UHD paths pool WCT statistics over the batch — the
+    engine must refuse batches instead of silently whitening each image
+    with the others' statistics (the plain path vmaps per image)."""
+    import pytest
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=15)
+    c = rng.random((2, 96, 32, 3)).astype(np.float32)
+    s = rng.random((2, 48, 32, 3)).astype(np.float32)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                    slab_rows=32, fused=True, packed=False)
+    with pytest.raises(ValueError, match="per-image"):
+        eng.stylize(c, s, alpha=0.9)
+    # the plain engine takes the same batch fine
+    plain = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1))
+    out = plain.stylize(c, s, alpha=0.9)
+    assert out.shape == c.shape
+
+
+def test_small_image_bypasses_slab_structure(rng):
+    """An image shorter than one slab's 2*margin floor gains nothing from
+    slab streaming but would pay huge reflect padding — the engine must
+    route it through the plain cascade (same result as a plain engine)."""
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((3, 2, 1), key=16)
+    c = rng.random((32, 32, 3)).astype(np.float32)  # H=32 < 2*margin (48)
+    s = rng.random((32, 32, 3)).astype(np.float32)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(3, 2, 1),
+                    slab_rows=48, fused=True, packed=False)
+    assert c.shape[0] < 2 * eng.slab.margin
+    ref = WCTEngine(mode="16x", pyramid=pyramid, stages=(3, 2, 1)
+                    ).stylize(c, s, alpha=0.7)
+    out = eng.stylize(c, s, alpha=0.7)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_stylize_pairs_short_keys_error(rng):
+    """A style_keys iterable shorter than pairs must raise, not silently
+    truncate the result stream."""
+    import pytest
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((1,), key=17)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(1,))
+    pairs = [(rng.random((32, 32, 3)).astype(np.float32),
+              rng.random((32, 32, 3)).astype(np.float32)) for _ in range(3)]
+    with pytest.raises(ValueError):
+        list(eng.stylize_pairs(pairs, style_keys=["a", "b"]))
