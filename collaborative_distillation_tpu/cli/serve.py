@@ -159,9 +159,22 @@ def build_app(engine, log, *, max_styles: int = 256):
                         planes = None
                     if planes is not None:
                         with lock:
-                            yo, co = engine.stylize_planes(
-                                *planes, style_arr, alpha=alpha, style_key=keyed)
-                        body = encode_jpeg_yuv420(yo, co, quality=95)
+                            # big requests: streamed tail + incremental
+                            # native encode (each band entropy-encodes while
+                            # the next one fetches); None -> assembled path
+                            body = (engine.stylize_planes_jpeg(
+                                        *planes, style_arr, alpha=alpha,
+                                        style_key=keyed, quality=95)
+                                    if hasattr(engine, "stylize_planes_jpeg")
+                                    else None)
+                            if body is not None:
+                                yo = co = None
+                            else:
+                                yo, co = engine.stylize_planes(
+                                    *planes, style_arr, alpha=alpha,
+                                    style_key=keyed)
+                        if body is None:
+                            body = encode_jpeg_yuv420(yo, co, quality=95)
                         if body is None:
                             # native encode failed: the stylized planes are
                             # already in hand — finish on the host instead

@@ -18,7 +18,7 @@ import threading
 import numpy as np
 
 __all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg",
-           "decode_jpeg_yuv420", "encode_jpeg_yuv420",
+           "decode_jpeg_yuv420", "encode_jpeg_yuv420", "jpeg_yuv420_writer",
            "rgb_to_yuv420", "yuv420_to_rgb"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -77,6 +77,19 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
             lib.cd_jpeg_encode_yuv420.restype = ctypes.c_long
+            lib.cd_jpeg_enc_begin.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.cd_jpeg_enc_begin.restype = ctypes.c_void_p
+            lib.cd_jpeg_enc_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.cd_jpeg_enc_rows.restype = ctypes.c_long
+            lib.cd_jpeg_enc_finish.argtypes = [ctypes.c_void_p]
+            lib.cd_jpeg_enc_finish.restype = ctypes.c_long
+            lib.cd_jpeg_enc_read_free.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+            lib.cd_jpeg_enc_read_free.restype = ctypes.c_long
+            lib.cd_jpeg_enc_abort.argtypes = [ctypes.c_void_p]
+            lib.cd_jpeg_enc_abort.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -191,6 +204,83 @@ def encode_jpeg_yuv420(y: np.ndarray, cbcr: np.ndarray,
             y.ctypes.data_as(ctypes.c_void_p),
             cbcr.ctypes.data_as(ctypes.c_void_p), w, h, quality, buf, cap),
         w, h)
+
+
+class _JpegYuv420Writer:
+    """Incremental 4:2:0-plane JPEG encoder (see jpeg_yuv420_writer).
+
+    Feed row bands in order with :meth:`write`, then :meth:`finish` for the
+    bytes. Band heights must be even and multiples of 16 except the final
+    band. After any failure the writer is dead (``finish`` returns None).
+    The C calls release the GIL, so encoding one band overlaps the fetch of
+    the next from a different thread.
+    """
+
+    def __init__(self, lib, w: int, h: int, quality: int):
+        self._lib = lib
+        self._h = h
+        self._w = w
+        self._written = 0
+        self._handle = lib.cd_jpeg_enc_begin(w, h, quality)
+        if not self._handle:
+            raise RuntimeError(f"jpeg encoder rejected {w}x{h} q{quality}")
+
+    def write(self, y: np.ndarray, cbcr: np.ndarray) -> bool:
+        """Append one band; returns False (and kills the writer) on error."""
+        if not self._handle:
+            return False
+        rows = y.shape[0]
+        if (y.dtype != np.uint8 or cbcr.dtype != np.uint8 or y.ndim != 2
+                or y.shape[1] != self._w
+                or cbcr.shape != (rows // 2, self._w // 2, 2)):
+            self.close()
+            return False
+        y = np.ascontiguousarray(y)
+        cbcr = np.ascontiguousarray(cbcr)
+        rc = self._lib.cd_jpeg_enc_rows(
+            self._handle, y.ctypes.data_as(ctypes.c_void_p),
+            cbcr.ctypes.data_as(ctypes.c_void_p), rows)
+        if rc != 0:
+            self._handle = None  # the C side freed it
+            return False
+        self._written += rows
+        return True
+
+    def finish(self) -> bytes | None:
+        if not self._handle or self._written != self._h:
+            self.close()
+            return None
+        n = self._lib.cd_jpeg_enc_finish(self._handle)
+        if n <= 0:
+            self._handle = None
+            return None
+        out = np.empty(n, np.uint8)
+        rc = self._lib.cd_jpeg_enc_read_free(
+            self._handle, out.ctypes.data_as(ctypes.c_void_p), int(n))
+        self._handle = None
+        return out[:rc].tobytes() if rc > 0 else None
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.cd_jpeg_enc_abort(self._handle)
+            self._handle = None
+
+    def __del__(self):  # belt and braces — close() is the real contract
+        self.close()
+
+
+def jpeg_yuv420_writer(w: int, h: int,
+                       quality: int = 95) -> _JpegYuv420Writer | None:
+    """Incremental encoder factory; None when the native codec (or this
+    geometry: even dims required) is unavailable — callers fall back to
+    assembling whole planes + :func:`encode_jpeg_yuv420`."""
+    lib = _load()
+    if lib is None or w <= 0 or h <= 0 or w % 2 or h % 2:
+        return None
+    try:
+        return _JpegYuv420Writer(lib, w, h, quality)
+    except RuntimeError:
+        return None
 
 
 def rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:

@@ -445,6 +445,92 @@ class WCTEngine:
         yo, co = _rgbf_to_yuv420(out)
         return fetch(yo)[0], fetch(co)[0]
 
+    def stylize_planes_jpeg(self, y: np.ndarray, cbcr: np.ndarray, style,
+                            alpha: float = 1.0, *, style_key=None,
+                            quality: int = 95) -> bytes | None:
+        """JPEG-native endpoint with a streamed encode: stylize 4:2:0 planes
+        and return the encoded JPEG bytes, entropy-encoding each streamed
+        band (native incremental encoder, GIL released) while later bands
+        are still being fetched from the device.
+
+        Returns None when this engine/input can't stream (no fused slab
+        path, below ``stream_min_pix``, native codec unavailable) — callers
+        fall back to :meth:`stylize_planes` + ``encode_jpeg_yuv420``. The
+        bytes are identical to that fallback (the incremental encoder is
+        bit-equal to the whole-plane encode).
+        """
+        from ..data.native_codec import encode_jpeg_yuv420, jpeg_yuv420_writer
+
+        assert y.ndim == 2 and y.shape[0] % 2 == 0 and y.shape[1] % 2 == 0, y.shape
+        orig_h, orig_w = y.shape
+        if (self._fused_slab is None or self.space
+                or orig_h * orig_w < self.stream_min_pix):
+            return None
+        writer = jpeg_yuv420_writer(orig_w, orig_h, quality)
+        if writer is None:
+            return None
+        state = {"row": 0, "ok": True, "buf": None, "written": 0}
+
+        def sink(band):
+            if not state["ok"]:
+                return
+            yb, cb = band  # padded-width band planes, rows even
+            r0 = state["row"]
+            state["row"] += yb.shape[1]
+            take = min(yb.shape[1], orig_h - r0)  # drop pad rows past orig H
+            if take <= 0:
+                return
+            yb = yb[0, :take, :orig_w]
+            cb = cb[0, : take // 2, : orig_w // 2]
+            if state["buf"] is not None:  # carry from a non-MCU-aligned band
+                py, pc = state["buf"]
+                yb = np.concatenate([py, yb])
+                cb = np.concatenate([pc, cb])
+                state["buf"] = None
+            # intermediate writes must be 16-row (MCU) aligned; the final
+            # write (reaching orig_h) may be any even height
+            if state["written"] + yb.shape[0] == orig_h:
+                n = yb.shape[0]
+            else:
+                n = (yb.shape[0] // 16) * 16
+            if n:
+                if not writer.write(yb[:n], cb[: n // 2]):
+                    state["ok"] = False
+                    return
+                state["written"] += n
+            if yb.shape[0] > n:
+                state["buf"] = (yb[n:], cb[n // 2:])
+
+        img = _yuv420_to_rgbf(push(y[None]), jnp.asarray(cbcr[None]))
+        img = img.astype(self.dtype)
+        sty = jnp.asarray(style)
+        if sty.ndim == 3:
+            sty = sty[None]
+        sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
+        img, _ = _pad_to_multiple(img, 16, 16)
+        sty, _ = _pad_to_multiple(sty, 16, 16)
+        out = self._run_device(img, sty, alpha, num_run=1,
+                               style_key=style_key, as_uint8=False,
+                               pwct=False, orig_hw=(orig_h, orig_w),
+                               emit_planes=True, band_sink=sink)
+        if (out is None and state["ok"] and state["buf"] is None
+                and state["written"] == orig_h):
+            return writer.finish()
+        writer.close()
+        # non-streamed outcome (small-image bypass, XLA fallback, odd band
+        # geometry): encode from assembled planes instead
+        if isinstance(out, tuple):
+            yo, co = out
+            yo = yo[0, :orig_h, :orig_w]
+            co = co[0, : orig_h // 2, : orig_w // 2]
+        elif out is not None:
+            out = out[:, :orig_h, :orig_w, :]
+            yd, cd = _rgbf_to_yuv420(out)
+            yo, co = fetch(yd)[0], fetch(cd)[0]
+        else:
+            return None
+        return encode_jpeg_yuv420(yo, co, quality=quality)
+
     def stylize_pairs(self, pairs, alpha: float = 1.0, *, num_run: int = 1,
                       style_keys=None, as_uint8: bool = True):
         """Pipelined stylization of many (content, style) pairs.
@@ -502,7 +588,8 @@ class WCTEngine:
 
     def _run_device(self, img, sty, alpha, *, num_run: int, style_key,
                     as_uint8: bool, pwct: bool, orig_hw, transport=None,
-                    stream_ok: bool = True, emit_planes: bool = False):
+                    stream_ok: bool = True, emit_planes: bool = False,
+                    band_sink=None):
         """Run the cascade on device-resident inputs; returns the (padded)
         device image, or a host uint8 array if a streaming path fetched it.
         ``transport`` (resolved) picks the streamed tail's wire format;
@@ -580,7 +667,8 @@ class WCTEngine:
                     emit = ("planes" if emit_planes
                             else "yuv420" if transport == "yuv420" else "u8")
                     return self.slab.stream_last_stage(h_img, t, cm, sm, alpha,
-                                                       emit=emit)
+                                                       emit=emit,
+                                                       on_band=band_sink)
                 while completed < num_run:
                     img = fn(fparams, img, sstats, alpha)
                     completed += 1

@@ -461,7 +461,8 @@ class SlabCascade:
         return self._apply_fns[key]
 
     def stream_last_stage(self, img, t, c_mean, s_mean, alpha, *,
-                          emit: str = "u8", rows: int | None = None) -> np.ndarray:
+                          emit: str = "u8", rows: int | None = None,
+                          on_band=None) -> np.ndarray | None:
         """Apply the cascade's LAST stage in fine row bands, streaming each
         band to the host while the next one computes.
 
@@ -476,6 +477,11 @@ class SlabCascade:
         device compute. Returns host uint8 RGB (1, H, W, 3) — or, with
         ``emit='planes'``, host 4:2:0 planes ``(Y (1,H,W), CbCr
         (1,H/2,W/2,2))`` for JPEG-native serving (no RGB reassembly at all).
+
+        ``on_band``: optional consumer called with each band's host result
+        IN ORDER (for ``'planes'``: that band's ``(y, cbcr)``) while later
+        bands are still fetching — e.g. an incremental JPEG encoder. When
+        set, nothing is assembled and the method returns None.
         """
         k = self.stages[-1]
         m = self.margins[k]
@@ -534,7 +540,20 @@ class SlabCascade:
             return fetch(d, min_bytes=1 << 20, chunks=16)
 
         if n == 1:
-            outs = [collect(devs[0])]
+            results = iter([collect(devs[0])])
+            if on_band is not None:
+                on_band(next(results))
+                return None
+            outs = list(results)
+        elif on_band is not None:
+            # feed bands in order as they land; the consumer runs on this
+            # thread while the pool keeps fetching ahead (a native consumer
+            # releases the GIL, so encode overlaps fetch for real)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(3) as ex:
+                for out in ex.map(collect, devs):
+                    on_band(out)
+            return None
         else:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(3) as ex:

@@ -466,3 +466,172 @@ int cd_resize_rgb(const uint8_t* src, int sw, int sh,
 }
 
 }  // extern "C"
+
+// ---- Incremental 4:2:0-plane JPEG encoder ----
+//
+// The streamed stylization tail fetches the output in row bands while the
+// device is still computing later bands; this encoder consumes those bands
+// AS THEY ARRIVE (jpeg_write_raw_data per 16-row MCU group), so for a UHD
+// serve response the entropy encode rides under the next band's fetch
+// instead of starting after the whole image landed. State lives behind an
+// opaque handle; after ANY negative return the handle is already freed.
+
+namespace {
+
+struct CdJpegEnc {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  unsigned char* buf;  // jpeg_mem_dest-managed (libjpeg mallocs/grows)
+  unsigned long len;
+  uint8_t* scratch;    // one MCU band (16 Y rows + 8+8 chroma rows)
+  int w, h;
+  int y_stride, c_stride;
+};
+
+void cd_enc_free(CdJpegEnc* st) {
+  free(st->scratch);
+  jpeg_destroy_compress(&st->cinfo);
+  free(st->buf);
+  free(st);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque handle, or NULL on invalid args / allocation failure.
+void* cd_jpeg_enc_begin(int w, int h, int quality) {
+  if (w <= 0 || h <= 0 || (w & 1) || (h & 1) || quality < 1 || quality > 100)
+    return nullptr;
+  CdJpegEnc* st = static_cast<CdJpegEnc*>(calloc(1, sizeof(CdJpegEnc)));
+  if (st == nullptr) return nullptr;
+  st->w = w;
+  st->h = h;
+  st->cinfo.err = jpeg_std_error(&st->jerr.pub);
+  st->jerr.pub.error_exit = error_exit;
+  if (setjmp(st->jerr.setjmp_buffer)) {
+    cd_enc_free(st);
+    return nullptr;
+  }
+  jpeg_create_compress(&st->cinfo);
+  jpeg_mem_dest(&st->cinfo, &st->buf, &st->len);
+  st->cinfo.image_width = static_cast<JDIMENSION>(w);
+  st->cinfo.image_height = static_cast<JDIMENSION>(h);
+  st->cinfo.input_components = 3;
+  st->cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&st->cinfo);  // YCbCr default sampling is 2x2,1x1,1x1
+  jpeg_set_quality(&st->cinfo, quality, TRUE);
+  st->cinfo.raw_data_in = TRUE;
+  jpeg_start_compress(&st->cinfo, TRUE);
+  st->y_stride = static_cast<int>(st->cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
+  st->c_stride = static_cast<int>(st->cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
+  st->scratch = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(st->y_stride) * 16 +
+             static_cast<size_t>(st->c_stride) * 16));
+  if (st->scratch == nullptr) {
+    cd_enc_free(st);
+    return nullptr;
+  }
+  return st;
+}
+
+// Append ``rows`` image rows (y: rows*w bytes; cbcr: (rows/2)*(w/2)*2,
+// interleaved). ``rows`` must be even and a multiple of 16 unless this call
+// delivers the final rows of the image (the tail of the last MCU group is
+// replicated, as in cd_jpeg_encode_yuv420). Returns 0, or <0 (handle freed).
+long cd_jpeg_enc_rows(void* handle, const uint8_t* y, const uint8_t* cbcr,
+                      int rows) {
+  CdJpegEnc* st = static_cast<CdJpegEnc*>(handle);
+  if (st == nullptr) return -1;
+  const int done = static_cast<int>(st->cinfo.next_scanline);
+  if (rows <= 0 || (rows & 1) || done + rows > st->h ||
+      ((rows % 16) != 0 && done + rows != st->h)) {
+    cd_enc_free(st);
+    return -3;
+  }
+  if (setjmp(st->jerr.setjmp_buffer)) {
+    cd_enc_free(st);
+    return -1;
+  }
+  const int w = st->w, w2 = st->w / 2, h2r = rows / 2;
+  uint8_t* ybuf = st->scratch;
+  uint8_t* cbbuf = ybuf + static_cast<size_t>(st->y_stride) * 16;
+  uint8_t* crbuf = cbbuf + static_cast<size_t>(st->c_stride) * 8;
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  for (int i = 0; i < 16; ++i)
+    yrows[i] = ybuf + static_cast<long>(i) * st->y_stride;
+  for (int i = 0; i < 8; ++i) {
+    cbrows[i] = cbbuf + static_cast<long>(i) * st->c_stride;
+    crrows[i] = crbuf + static_cast<long>(i) * st->c_stride;
+  }
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  for (int base = 0; base < rows; base += 16) {
+    const int ny = rows - base < 16 ? rows - base : 16;
+    for (int r = 0; r < 16; ++r) {
+      const int src = base + (r < ny ? r : ny - 1);  // replicate final rows
+      std::memcpy(yrows[r], y + static_cast<long>(src) * w, w);
+      std::memset(yrows[r] + w, yrows[r][w - 1], st->y_stride - w);
+    }
+    const int cbase = base / 2;
+    const int nc = h2r - cbase < 8 ? h2r - cbase : 8;
+    for (int r = 0; r < 8; ++r) {
+      const int src = cbase + (r < nc ? r : nc - 1);
+      const uint8_t* p = cbcr + static_cast<long>(src) * w2 * 2;
+      for (int x = 0; x < w2; ++x) {
+        cbrows[r][x] = p[x * 2];
+        crrows[r][x] = p[x * 2 + 1];
+      }
+      std::memset(cbrows[r] + w2, cbrows[r][w2 - 1], st->c_stride - w2);
+      std::memset(crrows[r] + w2, crrows[r][w2 - 1], st->c_stride - w2);
+    }
+    jpeg_write_raw_data(&st->cinfo, planes, 16);
+  }
+  return 0;
+}
+
+// Finish the stream; returns the total JPEG byte length (handle stays alive
+// for cd_jpeg_enc_read_free), or <0 (handle freed). All h rows must have
+// been written.
+long cd_jpeg_enc_finish(void* handle) {
+  CdJpegEnc* st = static_cast<CdJpegEnc*>(handle);
+  if (st == nullptr) return -1;
+  if (static_cast<int>(st->cinfo.next_scanline) < st->h) {
+    cd_enc_free(st);
+    return -3;
+  }
+  if (setjmp(st->jerr.setjmp_buffer)) {
+    cd_enc_free(st);
+    return -1;
+  }
+  jpeg_finish_compress(&st->cinfo);
+  return static_cast<long>(st->len);
+}
+
+// Copy the finished JPEG into ``out`` (cap bytes) and free the handle.
+// Returns the byte count, or -2 if cap was too small (handle freed either
+// way).
+long cd_jpeg_enc_read_free(void* handle, uint8_t* out, long cap) {
+  CdJpegEnc* st = static_cast<CdJpegEnc*>(handle);
+  if (st == nullptr) return -1;
+  const long n = static_cast<long>(st->len);
+  long rc = n;
+  if (n > cap) {
+    rc = -2;
+  } else {
+    std::memcpy(out, st->buf, static_cast<size_t>(n));
+  }
+  cd_enc_free(st);
+  return rc;
+}
+
+// Abandon an in-progress encode (e.g. a band fetch failed).
+void cd_jpeg_enc_abort(void* handle) {
+  CdJpegEnc* st = static_cast<CdJpegEnc*>(handle);
+  if (st == nullptr) return;
+  if (setjmp(st->jerr.setjmp_buffer) == 0) {
+    jpeg_abort_compress(&st->cinfo);
+  }
+  cd_enc_free(st);
+}
+
+}  // extern "C"

@@ -274,3 +274,36 @@ def test_native_decode_pixel_cap(rng, monkeypatch):
     monkeypatch.setattr(nc, "MAX_DECODE_PIXELS", 63 * 63)
     assert nc.decode_jpeg(data) is None
     assert nc.decode_jpeg_yuv420(data) is None
+
+
+def test_incremental_jpeg_encoder_matches_whole():
+    """The banded encoder produces byte-identical JPEGs to the whole-plane
+    encode, including a non-MCU-aligned final band; misuse (bad band shape,
+    underfill) yields None instead of corrupt output."""
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(7)
+    h, w = 96, 64
+    rgb = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(rgb)
+    ref = nc.encode_jpeg_yuv420(y, cbcr, quality=95)
+    wtr = nc.jpeg_yuv420_writer(w, h, 95)
+    for a in range(0, h, 32):
+        assert wtr.write(y[a:a + 32], cbcr[a // 2:(a + 32) // 2])
+    assert wtr.finish() == ref
+    # trailing non-multiple-of-16 band
+    wtr = nc.jpeg_yuv420_writer(w, 88, 95)
+    assert wtr.write(y[:48], cbcr[:24]) and wtr.write(y[48:88], cbcr[24:44])
+    assert wtr.finish() == nc.encode_jpeg_yuv420(y[:88], cbcr[:44], quality=95)
+    # misuse: wrong geometry kills the writer
+    wtr = nc.jpeg_yuv420_writer(w, h, 95)
+    assert not wtr.write(y[:10], cbcr[:5])
+    assert wtr.finish() is None
+    # underfilled
+    wtr = nc.jpeg_yuv420_writer(w, h, 95)
+    assert wtr.write(y[:32], cbcr[:16])
+    assert wtr.finish() is None
+    # odd dims rejected at the factory
+    assert nc.jpeg_yuv420_writer(63, h) is None

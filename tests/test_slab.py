@@ -380,3 +380,29 @@ def test_stylize_pairs_short_keys_error(rng):
               rng.random((32, 32, 3)).astype(np.float32)) for _ in range(3)]
     with pytest.raises(ValueError):
         list(eng.stylize_pairs(pairs, style_keys=["a", "b"]))
+
+
+def test_stylize_planes_jpeg_matches_assembled(rng):
+    """The streamed-encode JPEG endpoint returns byte-identical output to
+    stylize_planes + whole-plane encode (the incremental encoder and the
+    band cropping change nothing); engines that can't stream return None."""
+    import pytest
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=18)
+    c = (rng.random((96, 32, 3)) * 255).astype(np.uint8)
+    s = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(c)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                    slab_rows=32, fused=True, packed=False,
+                    stream_min_pix=0)
+    body = eng.stylize_planes_jpeg(y, cbcr, s, alpha=0.8, style_key="j")
+    assert body is not None and body[:2] == b"\xff\xd8"
+    yo, co = eng.stylize_planes(y, cbcr, s, alpha=0.8, style_key="j")
+    assert body == nc.encode_jpeg_yuv420(yo, co, quality=95)
+    plain = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1))
+    assert plain.stylize_planes_jpeg(y, cbcr, s) is None
