@@ -154,6 +154,16 @@ def build_app(engine, log, *, max_styles: int = 256):
                     )
                     if (hasattr(engine, "stylize_planes")
                             and getattr(engine, "transport", "rgb") != "rgb"):
+                        # fully streamed JPEG->JPEG first: banded entropy
+                        # decode under the upload, banded entropy encode
+                        # under the readback, zero host pixel math
+                        if hasattr(engine, "stylize_jpeg"):
+                            with lock:
+                                body = engine.stylize_jpeg(
+                                    data, style_arr, alpha=alpha,
+                                    style_key=keyed, quality=95)
+                            if body is not None:
+                                return self._send(200, body, "image/jpeg")
                         planes = decode_jpeg_yuv420(data)
                     else:
                         planes = None

@@ -19,7 +19,7 @@ import numpy as np
 
 __all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg",
            "decode_jpeg_yuv420", "encode_jpeg_yuv420", "jpeg_yuv420_writer",
-           "rgb_to_yuv420", "yuv420_to_rgb"]
+           "jpeg_yuv420_reader", "rgb_to_yuv420", "yuv420_to_rgb"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "imgcodec.cpp")
@@ -90,6 +90,15 @@ def _load():
             lib.cd_jpeg_enc_read_free.restype = ctypes.c_long
             lib.cd_jpeg_enc_abort.argtypes = [ctypes.c_void_p]
             lib.cd_jpeg_enc_abort.restype = None
+            lib.cd_jpeg_dec_begin.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.cd_jpeg_dec_begin.restype = ctypes.c_void_p
+            lib.cd_jpeg_dec_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.cd_jpeg_dec_rows.restype = ctypes.c_long
+            lib.cd_jpeg_dec_abort.argtypes = [ctypes.c_void_p]
+            lib.cd_jpeg_dec_abort.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -267,6 +276,73 @@ class _JpegYuv420Writer:
 
     def __del__(self):  # belt and braces — close() is the real contract
         self.close()
+
+
+class _JpegYuv420Reader:
+    """Incremental 4:2:0-plane JPEG decoder (see jpeg_yuv420_reader).
+
+    :meth:`read` returns the next band's ``(y, cbcr)`` planes, or None on
+    error (the reader is then dead). ``done`` flips True after the final
+    band. Band heights must be even and multiples of 16 except the last.
+    The C call releases the GIL, so decoding a band overlaps an upload of
+    the previous one from another thread.
+    """
+
+    def __init__(self, lib, data: bytes, handle, w: int, h: int):
+        self._lib = lib
+        self._data = data  # the handle reads from this buffer; keep it alive
+        self._handle = handle
+        self.w = w
+        self.h = h
+        self._row = 0
+        self.done = False
+
+    def read(self, rows: int) -> tuple[np.ndarray, np.ndarray] | None:
+        if not self._handle or self.done:
+            return None
+        rows = min(rows, self.h - self._row)
+        y = np.empty((rows, self.w), np.uint8)
+        cbcr = np.empty((rows // 2, self.w // 2, 2), np.uint8)
+        rc = self._lib.cd_jpeg_dec_rows(
+            self._handle, y.ctypes.data_as(ctypes.c_void_p),
+            cbcr.ctypes.data_as(ctypes.c_void_p), rows)
+        if rc < 0:
+            self._handle = None  # the C side freed it
+            return None
+        self._row += rows
+        if rc == 1:
+            self._handle = None  # complete: freed by the C side
+            self.done = True
+        return y, cbcr
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.cd_jpeg_dec_abort(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        self.close()
+
+
+def jpeg_yuv420_reader(data: bytes, *, max_pixels: int | None = None
+                       ) -> _JpegYuv420Reader | None:
+    """Incremental decoder factory: None unless ``data`` is a baseline
+    even-dimensioned 4:2:0 JPEG within the decompression-bomb limit —
+    callers fall back to :func:`decode_jpeg_yuv420` / PIL."""
+    lib = _load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.cd_jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    limit = MAX_DECODE_PIXELS if max_pixels is None else max_pixels
+    if w.value * h.value > limit:
+        return None
+    handle = lib.cd_jpeg_dec_begin(data, len(data),
+                                   ctypes.byref(w), ctypes.byref(h))
+    if not handle:
+        return None
+    return _JpegYuv420Reader(lib, data, handle, w.value, h.value)
 
 
 def jpeg_yuv420_writer(w: int, h: int,

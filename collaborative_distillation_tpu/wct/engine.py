@@ -459,13 +459,67 @@ class WCTEngine:
         bytes are identical to that fallback (the incremental encoder is
         bit-equal to the whole-plane encode).
         """
-        from ..data.native_codec import encode_jpeg_yuv420, jpeg_yuv420_writer
-
         assert y.ndim == 2 and y.shape[0] % 2 == 0 and y.shape[1] % 2 == 0, y.shape
         orig_h, orig_w = y.shape
         if (self._fused_slab is None or self.space
                 or orig_h * orig_w < self.stream_min_pix):
             return None
+        img = _yuv420_to_rgbf(push(y[None]), jnp.asarray(cbcr[None]))
+        return self._run_to_jpeg(img, style, alpha, style_key=style_key,
+                                 quality=quality, orig_hw=(orig_h, orig_w))
+
+    def stylize_jpeg(self, data: bytes, style, alpha: float = 1.0, *,
+                     style_key=None, quality: int = 95) -> bytes | None:
+        """Fully streamed JPEG-in/JPEG-out: entropy-decode the content in
+        row bands (native incremental decoder, GIL released) while earlier
+        bands already ride the h2d link, stylize, then entropy-encode the
+        streamed output bands while later ones fetch. The host never touches
+        pixel math and never holds the whole image in either direction.
+
+        Returns None when the input is not a baseline 4:2:0 JPEG or this
+        engine/input can't stream — callers fall back to
+        ``decode_jpeg_yuv420`` + :meth:`stylize_planes` (+ encode).
+        """
+        from ..data.native_codec import jpeg_yuv420_reader
+
+        reader = jpeg_yuv420_reader(data)
+        if reader is None:
+            return None
+        h, w = reader.h, reader.w
+        if (self._fused_slab is None or self.space
+                or h * w < self.stream_min_pix):
+            reader.close()
+            return None
+        # banded decode -> upload: band i decodes (C, GIL released) while
+        # bands < i push from a two-worker pool (the relay's h2d sweet spot)
+        band = max(16, (-(-h // 4) // 16) * 16)
+        from concurrent.futures import ThreadPoolExecutor
+        dev = []
+        with ThreadPoolExecutor(2) as up:
+            a = 0
+            while a < h:
+                r = min(band, h - a)
+                planes = reader.read(r)
+                if planes is None:
+                    return None  # corrupt tail: fall back to the whole path
+                yb, cb = planes
+                dev.append((up.submit(jnp.asarray, yb[None]),
+                            up.submit(jnp.asarray, cb[None])))
+                a += r
+            y_dev = jnp.concatenate([fy.result() for fy, _ in dev], axis=1)
+            c_dev = jnp.concatenate([fc.result() for _, fc in dev], axis=1)
+        img = _yuv420_to_rgbf(y_dev, c_dev)
+        return self._run_to_jpeg(img, style, alpha, style_key=style_key,
+                                 quality=quality, orig_hw=(h, w))
+
+    def _run_to_jpeg(self, img, style, alpha, *, style_key, quality,
+                     orig_hw) -> bytes | None:
+        """Shared tail of the JPEG endpoints: pad, cascade with a streamed
+        plane sink feeding the incremental encoder, fall back to assembling
+        planes when streaming didn't engage."""
+        from ..data.native_codec import encode_jpeg_yuv420, jpeg_yuv420_writer
+
+        orig_h, orig_w = orig_hw
         writer = jpeg_yuv420_writer(orig_w, orig_h, quality)
         if writer is None:
             return None
@@ -501,7 +555,6 @@ class WCTEngine:
             if yb.shape[0] > n:
                 state["buf"] = (yb[n:], cb[n // 2:])
 
-        img = _yuv420_to_rgbf(push(y[None]), jnp.asarray(cbcr[None]))
         img = img.astype(self.dtype)
         sty = jnp.asarray(style)
         if sty.ndim == 3:

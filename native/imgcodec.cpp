@@ -635,3 +635,149 @@ void cd_jpeg_enc_abort(void* handle) {
 }
 
 }  // extern "C"
+
+// ---- Incremental 4:2:0-plane JPEG decoder (input mirror of the encoder:
+//      entropy-decode row bands while earlier bands already ride the
+//      host->device link). Same handle/error contract: any negative return
+//      (or returning 1 = complete) frees the handle. ----
+
+namespace {
+
+struct CdJpegDec {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  uint8_t* scratch;
+  int w, h;
+  int y_stride, c_stride;
+};
+
+void cd_dec_free(CdJpegDec* st) {
+  free(st->scratch);
+  jpeg_destroy_decompress(&st->cinfo);
+  free(st);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a baseline even-dimensioned 4:2:0 JPEG for banded raw decoding.
+// ``data`` must stay valid for the handle's lifetime (the caller holds the
+// bytes). Returns NULL for anything else (caller falls back to the
+// whole-image decoders).
+void* cd_jpeg_dec_begin(const uint8_t* data, long len, int* out_w, int* out_h) {
+  CdJpegDec* st = static_cast<CdJpegDec*>(calloc(1, sizeof(CdJpegDec)));
+  if (st == nullptr) return nullptr;
+  st->cinfo.err = jpeg_std_error(&st->jerr.pub);
+  st->jerr.pub.error_exit = error_exit;
+  if (setjmp(st->jerr.setjmp_buffer)) {
+    cd_dec_free(st);
+    return nullptr;
+  }
+  jpeg_create_decompress(&st->cinfo);
+  jpeg_mem_src(&st->cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&st->cinfo, TRUE) != JPEG_HEADER_OK) {
+    cd_dec_free(st);
+    return nullptr;
+  }
+  const bool is420 =
+      st->cinfo.jpeg_color_space == JCS_YCbCr && st->cinfo.num_components == 3 &&
+      st->cinfo.comp_info[0].h_samp_factor == 2 &&
+      st->cinfo.comp_info[0].v_samp_factor == 2 &&
+      st->cinfo.comp_info[1].h_samp_factor == 1 &&
+      st->cinfo.comp_info[1].v_samp_factor == 1 &&
+      st->cinfo.comp_info[2].h_samp_factor == 1 &&
+      st->cinfo.comp_info[2].v_samp_factor == 1;
+  const int w = static_cast<int>(st->cinfo.image_width);
+  const int h = static_cast<int>(st->cinfo.image_height);
+  if (!is420 || (w & 1) || (h & 1)) {
+    cd_dec_free(st);
+    return nullptr;
+  }
+  st->w = w;
+  st->h = h;
+  st->cinfo.raw_data_out = TRUE;
+  st->cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&st->cinfo);
+  st->y_stride = static_cast<int>(st->cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
+  st->c_stride = static_cast<int>(st->cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
+  st->scratch = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(st->y_stride) * 16 +
+             static_cast<size_t>(st->c_stride) * 16));
+  if (st->scratch == nullptr) {
+    cd_dec_free(st);
+    return nullptr;
+  }
+  *out_w = w;
+  *out_h = h;
+  return st;
+}
+
+// Decode the next ``rows`` image rows into y (rows*w) and cbcr
+// ((rows/2)*(w/2)*2). ``rows`` must be even and a multiple of 16 unless it
+// reaches the end of the image. Returns 0 (more rows remain), 1 (image
+// complete — handle freed), or <0 (error — handle freed).
+long cd_jpeg_dec_rows(void* handle, uint8_t* y, uint8_t* cbcr, int rows) {
+  CdJpegDec* st = static_cast<CdJpegDec*>(handle);
+  if (st == nullptr) return -1;
+  const int done = static_cast<int>(st->cinfo.output_scanline);
+  if (rows <= 0 || (rows & 1) || done + rows > st->h ||
+      ((rows % 16) != 0 && done + rows != st->h)) {
+    cd_dec_free(st);
+    return -3;
+  }
+  if (setjmp(st->jerr.setjmp_buffer)) {
+    cd_dec_free(st);
+    return -1;
+  }
+  const int w = st->w, w2 = st->w / 2;
+  uint8_t* ybuf = st->scratch;
+  uint8_t* cbbuf = ybuf + static_cast<size_t>(st->y_stride) * 16;
+  uint8_t* crbuf = cbbuf + static_cast<size_t>(st->c_stride) * 8;
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  for (int i = 0; i < 16; ++i)
+    yrows[i] = ybuf + static_cast<long>(i) * st->y_stride;
+  for (int i = 0; i < 8; ++i) {
+    cbrows[i] = cbbuf + static_cast<long>(i) * st->c_stride;
+    crrows[i] = crbuf + static_cast<long>(i) * st->c_stride;
+  }
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  for (int base = 0; base < rows;) {
+    if (jpeg_read_raw_data(&st->cinfo, planes, 16) == 0) {
+      cd_dec_free(st);
+      return -2;
+    }
+    const int ny = rows - base < 16 ? rows - base : 16;
+    for (int r = 0; r < ny; ++r)
+      std::memcpy(y + static_cast<long>(base + r) * w, yrows[r], w);
+    const int cbase = base / 2, nc = (ny + 1) / 2;
+    for (int r = 0; r < nc; ++r) {
+      uint8_t* o = cbcr + static_cast<long>(cbase + r) * w2 * 2;
+      const uint8_t* pb = cbrows[r];
+      const uint8_t* pr = crrows[r];
+      for (int x = 0; x < w2; ++x) {
+        o[x * 2] = pb[x];
+        o[x * 2 + 1] = pr[x];
+      }
+    }
+    base += 16;
+  }
+  if (static_cast<int>(st->cinfo.output_scanline) >= st->h) {
+    jpeg_finish_decompress(&st->cinfo);
+    cd_dec_free(st);
+    return 1;
+  }
+  return 0;
+}
+
+// Abandon an in-progress decode.
+void cd_jpeg_dec_abort(void* handle) {
+  CdJpegDec* st = static_cast<CdJpegDec*>(handle);
+  if (st == nullptr) return;
+  if (setjmp(st->jerr.setjmp_buffer) == 0) {
+    jpeg_abort_decompress(&st->cinfo);
+  }
+  cd_dec_free(st);
+}
+
+}  // extern "C"

@@ -307,3 +307,30 @@ def test_incremental_jpeg_encoder_matches_whole():
     assert wtr.finish() is None
     # odd dims rejected at the factory
     assert nc.jpeg_yuv420_writer(63, h) is None
+
+
+def test_incremental_jpeg_decoder_matches_whole():
+    """Banded raw decode == whole-image raw decode; non-4:2:0 inputs are
+    rejected at open (callers fall back)."""
+    import io
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(8)
+    rgb = (rng.random((88, 64, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(rgb)
+    jpg = nc.encode_jpeg_yuv420(y, cbcr, quality=95)
+    ry, rc = nc.decode_jpeg_yuv420(jpg)
+    rd = nc.jpeg_yuv420_reader(jpg)
+    assert rd is not None and (rd.w, rd.h) == (64, 88)
+    parts = [rd.read(32), rd.read(32), rd.read(32)]  # last clamps to 24
+    assert all(p is not None for p in parts) and rd.done
+    assert np.array_equal(np.concatenate([p[0] for p in parts]), ry)
+    assert np.array_equal(np.concatenate([p[1] for p in parts]), rc)
+    # 4:4:4 input rejected at the factory
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", subsampling=0)
+    assert nc.jpeg_yuv420_reader(buf.getvalue()) is None
+    # bomb guard
+    assert nc.jpeg_yuv420_reader(jpg, max_pixels=100) is None

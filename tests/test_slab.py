@@ -406,3 +406,30 @@ def test_stylize_planes_jpeg_matches_assembled(rng):
     assert body == nc.encode_jpeg_yuv420(yo, co, quality=95)
     plain = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1))
     assert plain.stylize_planes_jpeg(y, cbcr, s) is None
+
+
+def test_stylize_jpeg_matches_whole_path(rng):
+    """Fully streamed JPEG->JPEG (banded decode -> banded upload -> cascade
+    -> streamed banded encode) returns byte-identical output to the
+    decode-whole / stylize_planes / encode-whole pipeline."""
+    import pytest
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyramid = _pyramid((2, 1), key=19)
+    c = (rng.random((96, 32, 3)) * 255).astype(np.uint8)
+    s = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(c)
+    src = nc.encode_jpeg_yuv420(y, cbcr, quality=95)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                    slab_rows=32, fused=True, packed=False,
+                    stream_min_pix=0)
+    body = eng.stylize_jpeg(src, s, alpha=0.8, style_key="fj")
+    assert body is not None and body[:2] == b"\xff\xd8"
+    dy, dc = nc.decode_jpeg_yuv420(src)
+    yo, co = eng.stylize_planes(dy, dc, s, alpha=0.8, style_key="fj")
+    assert body == nc.encode_jpeg_yuv420(yo, co, quality=95)
+    assert eng.stylize_jpeg(b"junk", s) is None
