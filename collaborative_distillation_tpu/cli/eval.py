@@ -55,7 +55,8 @@ def main(argv=None) -> int:
 
     pyramid = load_pyramid(args.mode, args.weights_root or None,
                            stages=tuple(args.stages))
-    ds = CenterCropDataset(args.images, args.size)
+    ds = CenterCropDataset(args.images, shorter_side=args.size + 16,
+                           crop=args.size)
     n = min(args.n_images, len(ds))
     if n == 0:
         raise SystemExit(f"no images found under {args.images}")
@@ -73,13 +74,15 @@ def main(argv=None) -> int:
         es, dsx = pyramid[k]["enc_spec"], pyramid[k]["dec_spec"]
         fn = jax.jit(lambda ep, dp, x, _es=es, _ds=dsx: apply_decoder(
             dp, apply_encoder(ep, x, _es)["out"], _ds)["out"])
-        rec = np.asarray(fn(pyramid[k]["enc"], pyramid[k]["dec"],
-                            jnp.asarray(imgs)))
-        row = {"psnr": round(psnr(np.clip(rec, 0, 1), imgs), 2),
+        rec = np.clip(np.asarray(fn(pyramid[k]["enc"], pyramid[k]["dec"],
+                                    jnp.asarray(imgs))), 0.0, 1.0)
+        row = {"psnr": round(psnr(rec, imgs), 2),
                "mse": round(float(np.mean((rec - imgs) ** 2)), 6)}
-        if k in teachers:
+        if k in teachers and es.aux:
             # the wct_se feat loss (model/model.py:24-26): student aux taps
-            # (adapted up to teacher widths) vs teacher relu taps
+            # (adapted up to teacher widths) vs teacher relu taps. Only
+            # meaningful for aux-carrying students — an aux-less family
+            # (mode=original) simply omits the metric
             tp, tspec = teachers[k]
 
             def feat_err(ep, tpp, x, _es=es, _ts=tspec):
@@ -88,7 +91,7 @@ def main(argv=None) -> int:
                 errs = [jnp.mean((taps_s[n] - taps_t["relu" + n[3:]]) ** 2)
                         for n in taps_s if n.startswith("aux")
                         and ("relu" + n[3:]) in taps_t]
-                return jnp.mean(jnp.stack(errs)) if errs else jnp.float32(0)
+                return jnp.mean(jnp.stack(errs))
 
             row["feat_mse"] = round(float(jax.jit(feat_err)(
                 pyramid[k]["enc"], tp, jnp.asarray(imgs))), 6)

@@ -12,9 +12,12 @@ no serving story at all — batch CLI only):
     GET  /styles                           registered style names
 
 Responses are JPEG. Requests serialize through a single engine lock (one
-accelerator); decode/encode happen outside the lock. Per-style statistics are
-cached inside the engine, so steady-state cost per request is one content
-cascade.
+accelerator). On the PIL/whole-image paths decode/encode happen outside the
+lock; the streamed JPEG->JPEG fast path (engine.stylize_jpeg) runs its
+banded entropy decode/encode inside the lock by design — those bands
+overlap the locked device transfers themselves, which is where the time
+goes. Per-style statistics are cached inside the engine, so steady-state
+cost per request is one content cascade.
 """
 
 from __future__ import annotations

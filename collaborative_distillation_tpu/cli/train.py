@@ -70,10 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.stage == 0:
-        if args.BE or args.BD or args.SE or args.SD:
+        if args.BE or args.BD or args.SE or args.SD or args.resume:
             raise SystemExit("--stage 0 (all stages) uses the default "
                              "per-stage weight paths; explicit --BE/--BD/"
-                             "--SE/--SD apply to a single stage only")
+                             "--SE/--SD/--resume apply to a single stage "
+                             "only (a shared checkpoint would restore the "
+                             "wrong stage's weights into every trainer)")
         for k in (5, 4, 3, 2, 1):
             rc = _run_stage(args, k)
             if rc:

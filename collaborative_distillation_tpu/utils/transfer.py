@@ -22,6 +22,7 @@ dtype change.
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -36,7 +37,7 @@ DEFAULT_THREADS = int(os.environ.get("CD_TPU_FETCH_THREADS", "16"))
 _pool: ThreadPoolExecutor | None = None
 
 
-_pool_lock = __import__("threading").Lock()
+_pool_lock = threading.Lock()
 
 
 def _get_pool(threads: int) -> ThreadPoolExecutor:
