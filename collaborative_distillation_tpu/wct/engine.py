@@ -56,8 +56,12 @@ STYLE_CACHE_MAX = int(__import__("os").environ.get("CD_TPU_STYLE_CACHE", "64"))
 # transport="auto": uint8 images at or above this many pixels ride the link
 # as YCbCr 4:2:0 planes (1.5 B/px). Below it, the per-shape compile of the
 # device converters and the host conversion outweigh the link savings.
+# 2 MPix: at that size the native conversion costs ~60 ms against a link
+# saving of ~70 ms on a GOOD relay day and ~0.5 s on a congested one
+# (measured; the relay swings 0.5-50 MB/s), so the halved bytes win or
+# break even everywhere above it.
 _YUV_AUTO_PIX = int(__import__("os").environ.get("CD_TPU_YUV_AUTO_PIX",
-                                                 str(8 * 1024 * 1024)))
+                                                 str(2 * 1024 * 1024)))
 
 
 def _pad_to_multiple(x: jax.Array, mult_h: int = 16,
@@ -156,7 +160,7 @@ class WCTEngine:
         # endpoints are JPEGs, already 4:2:0, so the end artifact is
         # unchanged up to chroma-box rounding; conversions run in the native
         # codec at ~30 ms/MPix). "auto" (default) picks yuv420 for uint8
-        # images of >= _YUV_AUTO_PIX pixels (8 MPix default; env
+        # images of >= _YUV_AUTO_PIX pixels (2 MPix default; env
         # CD_TPU_YUV_AUTO_PIX, in PIXELS) — where the link savings dwarf the
         # conversion cost — and rgb below that (and always for float I/O).
         self.transport = transport
@@ -400,7 +404,7 @@ class WCTEngine:
         ``transport="yuv420"`` halves that again by moving JPEG-native 4:2:0
         planes (uint8 path only; overrides the engine default per call).
         The default ("auto") does this automatically for uint8 images >=
-        8 MPix — the pipeline endpoints are JPEGs, themselves 4:2:0, so the
+        2 MPix — the pipeline endpoints are JPEGs, themselves 4:2:0, so the
         saved artifact only changes by chroma-box rounding; pass
         ``transport="rgb"`` for bit-exact RGB transport.
         """
