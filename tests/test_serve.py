@@ -164,3 +164,48 @@ def test_concurrent_reregistration_cannot_poison_stats(server, rng):
     assert c[0] == 200 and c[1] == a[1]
     with urllib.request.urlopen(server + "/healthz") as resp:
         assert json.loads(resp.read())["ok"]
+
+
+def test_streamed_jpeg_path_over_http(rng):
+    """A fused-slab engine with streaming forced on serves baseline 4:2:0
+    JPEGs through engine.stylize_jpeg (banded decode/encode); the response
+    must be a valid JPEG of the right size and match the non-streamed
+    server's output bytes."""
+    from http.server import ThreadingHTTPServer
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    def build(stream_min):
+        espec = encoder_spec("16x", 1, aux=True)
+        dspec = decoder_spec("16x", 1)
+        pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                       "enc": init_params(espec, jax.random.key(3)),
+                       "dec": init_params(dspec, jax.random.key(4))}}
+        eng = WCTEngine(mode="toy", stages=(1,), pyramid=pyramid,
+                        slab_rows=16, fused=True, stream_min_pix=stream_min,
+                        packed=False)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                                  build_app(eng, lambda m: None))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    content = (rng.random((64, 48, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(content)
+    jpg = nc.encode_jpeg_yuv420(y, cbcr, quality=95)
+    style = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    bodies = []
+    for stream_min in (0, 1 << 60):
+        srv, url = build(stream_min)
+        try:
+            assert _post(url + "/style/s", _jpeg_bytes(style))[0] == 200
+            code, body, ctype = _post(url + "/stylize?style=s&alpha=0.8", jpg)
+            assert code == 200 and ctype == "image/jpeg"
+            out = np.asarray(Image.open(io.BytesIO(body)))
+            assert out.shape == content.shape
+            bodies.append(body)
+        finally:
+            srv.shutdown()
+    assert bodies[0] == bodies[1]  # streamed == whole-path bytes
