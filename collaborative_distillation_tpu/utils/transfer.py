@@ -31,6 +31,10 @@ __all__ = ["fetch", "push", "DEFAULT_CHUNKS", "DEFAULT_THREADS"]
 
 DEFAULT_CHUNKS = int(os.environ.get("CD_TPU_FETCH_CHUNKS", "64"))
 DEFAULT_THREADS = int(os.environ.get("CD_TPU_FETCH_THREADS", "16"))
+# upload concurrency: 2 is the fast-relay optimum (44 MB/s vs 26 at 4);
+# under heavy congestion 4 measured best (36 vs 32 at 2, 13 single) —
+# deployments behind a loaded link can raise this
+DEFAULT_PUSH_STREAMS = int(os.environ.get("CD_TPU_PUSH_STREAMS", "2"))
 
 # one shared pool: fetches from different calls interleave fine, and a
 # persistent pool avoids per-call thread spawn latency
@@ -84,7 +88,8 @@ def fetch(x, *, chunks: int = DEFAULT_CHUNKS, threads: int = DEFAULT_THREADS,
     return np.concatenate(outs, axis=axis)
 
 
-def push(arr: np.ndarray, *, streams: int = 2, min_bytes: int = 32 << 20):
+def push(arr: np.ndarray, *, streams: int = DEFAULT_PUSH_STREAMS,
+         min_bytes: int = 32 << 20):
     """Host array -> device, using ``streams`` concurrent row-chunk uploads
     reassembled on device with one concatenate.
 
