@@ -159,8 +159,13 @@ def build_app(engine, log, *, max_styles: int = 256):
                             and getattr(engine, "transport", "rgb") != "rgb"):
                         # fully streamed JPEG->JPEG first: banded entropy
                         # decode under the upload, banded entropy encode
-                        # under the readback, zero host pixel math
-                        if hasattr(engine, "stylize_jpeg"):
+                        # under the readback, zero host pixel math. Skip
+                        # (and don't take the engine lock) when this engine
+                        # can never stream — it would open a decoder just
+                        # to throw it away on every request.
+                        if (hasattr(engine, "stylize_jpeg")
+                                and getattr(engine, "supports_streamed_jpeg",
+                                            lambda: True)()):
                             with lock:
                                 body = engine.stylize_jpeg(
                                     data, style_arr, alpha=alpha,

@@ -64,6 +64,11 @@ _YUV_AUTO_PIX = int(__import__("os").environ.get("CD_TPU_YUV_AUTO_PIX",
                                                  str(2 * 1024 * 1024)))
 
 
+class _CorruptJpeg(Exception):
+    """Internal: the incremental decoder failed mid-stream (truncated or
+    malformed entropy data past the header)."""
+
+
 def _pad_to_multiple(x: jax.Array, mult_h: int = 16,
                      mult_w: int | None = None) -> tuple[jax.Array, tuple[int, int]]:
     """Reflect-pad H to a multiple of ``mult_h`` and W to ``mult_w`` (defaults
@@ -361,11 +366,18 @@ class WCTEngine:
         rows = -(-h // bands)
         rows += rows % 2  # even band heights keep chroma boxes band-local
         bounds = [(a, min(a + rows, h)) for a in range(0, h, rows)]
+        return WCTEngine._upload_plane_bands(
+            rgb_to_yuv420_host(content[:, a:b]) for a, b in bounds)
+
+    @staticmethod
+    def _upload_plane_bands(bands):
+        """Upload an in-order iterable of host ``(y, cbcr)`` plane bands with
+        two uploads in flight (the relay's h2d sweet spot) while the producer
+        keeps generating; returns the concatenated device planes."""
         from concurrent.futures import ThreadPoolExecutor
+        dev = []
         with ThreadPoolExecutor(2) as up:
-            dev = []
-            for a, b in bounds:
-                yb, cb = rgb_to_yuv420_host(content[:, a:b])
+            for yb, cb in bands:
                 dev.append((up.submit(jnp.asarray, yb),
                             up.submit(jnp.asarray, cb)))
             y = jnp.concatenate([fy.result() for fy, _ in dev], axis=1)
@@ -430,13 +442,12 @@ class WCTEngine:
         assert y.ndim == 2 and y.shape[0] % 2 == 0 and y.shape[1] % 2 == 0, y.shape
         orig_hw = y.shape
         img = _yuv420_to_rgbf(push(y[None]), jnp.asarray(cbcr[None]))
-        img = img.astype(self.dtype)
+        mult_h = 16 * self.space if self.space else 16
+        img, _ = _pad_to_multiple(img.astype(self.dtype), mult_h, 16)
         sty = jnp.asarray(style)
         if sty.ndim == 3:
             sty = sty[None]
         sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
-        mult_h = 16 * self.space if self.space else 16
-        img, _ = _pad_to_multiple(img, mult_h, 16)
         sty, _ = _pad_to_multiple(sty, mult_h, 16)
         out = self._run_device(img, sty, alpha, num_run=num_run,
                                style_key=style_key, as_uint8=False,
@@ -486,35 +497,42 @@ class WCTEngine:
         """
         from ..data.native_codec import jpeg_yuv420_reader
 
+        if not self.supports_streamed_jpeg():
+            return None  # before opening a decoder for nothing
         reader = jpeg_yuv420_reader(data)
         if reader is None:
             return None
         h, w = reader.h, reader.w
-        if (self._fused_slab is None or self.space
-                or h * w < self.stream_min_pix):
+        if h * w < self.stream_min_pix:
             reader.close()
             return None
         # banded decode -> upload: band i decodes (C, GIL released) while
-        # bands < i push from a two-worker pool (the relay's h2d sweet spot)
+        # bands < i push from a two-worker pool
         band = max(16, (-(-h // 4) // 16) * 16)
-        from concurrent.futures import ThreadPoolExecutor
-        dev = []
-        with ThreadPoolExecutor(2) as up:
+
+        def bands():
             a = 0
             while a < h:
                 r = min(band, h - a)
                 planes = reader.read(r)
                 if planes is None:
-                    return None  # corrupt tail: fall back to the whole path
-                yb, cb = planes
-                dev.append((up.submit(jnp.asarray, yb[None]),
-                            up.submit(jnp.asarray, cb[None])))
+                    raise _CorruptJpeg  # decode error mid-stream
+                yield planes[0][None], planes[1][None]
                 a += r
-            y_dev = jnp.concatenate([fy.result() for fy, _ in dev], axis=1)
-            c_dev = jnp.concatenate([fc.result() for _, fc in dev], axis=1)
+
+        try:
+            y_dev, c_dev = self._upload_plane_bands(bands())
+        except _CorruptJpeg:
+            return None  # caller falls back to the whole path
         img = _yuv420_to_rgbf(y_dev, c_dev)
         return self._run_to_jpeg(img, style, alpha, style_key=style_key,
                                  quality=quality, orig_hw=(h, w))
+
+    def supports_streamed_jpeg(self) -> bool:
+        """Cheap predicate: can :meth:`stylize_jpeg` possibly stream on this
+        engine? Servers use it to skip the engine lock + decoder open for
+        engines that would always fall back."""
+        return self._fused_slab is not None and not self.space
 
     def _run_to_jpeg(self, img, style, alpha, *, style_key, quality,
                      orig_hw) -> bytes | None:
@@ -559,13 +577,8 @@ class WCTEngine:
             if yb.shape[0] > n:
                 state["buf"] = (yb[n:], cb[n // 2:])
 
-        img = img.astype(self.dtype)
-        sty = jnp.asarray(style)
-        if sty.ndim == 3:
-            sty = sty[None]
-        sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
-        img, _ = _pad_to_multiple(img, 16, 16)
-        sty, _ = _pad_to_multiple(sty, 16, 16)
+        img = _pad_to_multiple(img.astype(self.dtype), 16, 16)[0]
+        sty = self._prep_style(style)
         out = self._run_device(img, sty, alpha, num_run=1,
                                style_key=style_key, as_uint8=False,
                                pwct=False, orig_hw=(orig_h, orig_w),
@@ -574,19 +587,23 @@ class WCTEngine:
                 and state["written"] == orig_h):
             return writer.finish()
         writer.close()
-        # non-streamed outcome (small-image bypass, XLA fallback, odd band
-        # geometry): encode from assembled planes instead
-        if isinstance(out, tuple):
-            yo, co = out
-            yo = yo[0, :orig_h, :orig_w]
-            co = co[0, : orig_h // 2, : orig_w // 2]
-        elif out is not None:
-            out = out[:, :orig_h, :orig_w, :]
-            yd, cd = _rgbf_to_yuv420(out)
-            yo, co = fetch(yd)[0], fetch(cd)[0]
-        else:
-            return None
+        if out is None:
+            return None  # streamed but a band failed: caller falls back
+        # non-streamed outcome (small-image bypass, XLA fallback): the
+        # cascade returned the device image — encode from assembled planes
+        out = out[:, :orig_h, :orig_w, :]
+        yd, cd = _rgbf_to_yuv420(out)
+        yo, co = fetch(yd)[0], fetch(cd)[0]
         return encode_jpeg_yuv420(yo, co, quality=quality)
+
+    def _prep_style(self, style) -> jax.Array:
+        """Style image -> padded device float batch (shared by the plane
+        endpoints; _to_device handles the content-paired variant)."""
+        sty = jnp.asarray(style)
+        if sty.ndim == 3:
+            sty = sty[None]
+        sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8 else sty).astype(self.dtype)
+        return _pad_to_multiple(sty, 16, 16)[0]
 
     def stylize_pairs(self, pairs, alpha: float = 1.0, *, num_run: int = 1,
                       style_keys=None, as_uint8: bool = True):
