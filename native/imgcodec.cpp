@@ -481,9 +481,16 @@ namespace {
 struct CdJpegEnc {
   jpeg_compress_struct cinfo;
   ErrorMgr jerr;
-  unsigned char* buf;  // jpeg_mem_dest-managed (libjpeg mallocs/grows)
+  // WE own the initial destination buffer (worst-case sized, so libjpeg
+  // never grows it in practice). Passing a NULL buffer to jpeg_mem_dest
+  // would make libjpeg malloc AND free superseded buffers on growth while
+  // our copy of the pointer only updates at term_destination — freeing
+  // that stale pointer on abort is a double free (found by fuzzing).
+  unsigned char* orig;  // our malloc, never freed by libjpeg
+  unsigned char* buf;   // == orig until term_destination publishes a
+                        // (grown) replacement at finish
   unsigned long len;
-  uint8_t* scratch;    // one MCU band (16 Y rows + 8+8 chroma rows)
+  uint8_t* scratch;     // one MCU band (16 Y rows + 8+8 chroma rows)
   int w, h;
   int y_stride, c_stride;
 };
@@ -491,7 +498,9 @@ struct CdJpegEnc {
 void cd_enc_free(CdJpegEnc* st) {
   free(st->scratch);
   jpeg_destroy_compress(&st->cinfo);
-  free(st->buf);
+  if (st->buf != st->orig) free(st->buf);  // grown + finished: ours per the
+                                           // jpeg_mem_dest contract
+  free(st->orig);
   free(st);
 }
 
@@ -514,6 +523,17 @@ void* cd_jpeg_enc_begin(int w, int h, int quality) {
     return nullptr;
   }
   jpeg_create_compress(&st->cinfo);
+  // worst-case capacity: raw 4:2:0 is 1.5 B/px; pathological noise can
+  // entropy-code larger, so budget 3 B/px + slack. If libjpeg still has to
+  // grow, correctness is preserved (term_destination publishes the grown
+  // buffer, which cd_enc_free then releases) at the cost of one copy.
+  st->len = static_cast<unsigned long>(w) * h * 3 + (1u << 16);
+  st->orig = static_cast<unsigned char*>(malloc(st->len));
+  if (st->orig == nullptr) {
+    cd_enc_free(st);
+    return nullptr;
+  }
+  st->buf = st->orig;
   jpeg_mem_dest(&st->cinfo, &st->buf, &st->len);
   st->cinfo.image_width = static_cast<JDIMENSION>(w);
   st->cinfo.image_height = static_cast<JDIMENSION>(h);

@@ -334,3 +334,28 @@ def test_incremental_jpeg_decoder_matches_whole():
     assert nc.jpeg_yuv420_reader(buf.getvalue()) is None
     # bomb guard
     assert nc.jpeg_yuv420_reader(jpg, max_pixels=100) is None
+
+
+def test_incremental_encoder_abort_after_writes_no_corruption():
+    """Aborting a writer after intermediate writes must not double-free the
+    destination buffer (regression: jpeg_mem_dest frees superseded buffers
+    on growth while the handle's copy of the pointer only updates at
+    finish; found by fuzzing). Loops enough to trip glibc's checks."""
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(9)
+    rgb = (rng.random((96, 64, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(rgb)
+    for _ in range(50):
+        w = nc.jpeg_yuv420_writer(64, 96, 95)
+        assert w.write(y[:32], cbcr[:16])
+        assert w.write(y[:32], cbcr[:16])
+        w.close()  # abort with >4 KB already entropy-coded
+    # and the finished path still matches the whole-plane encode
+    ref = nc.encode_jpeg_yuv420(y, cbcr, quality=95)
+    w = nc.jpeg_yuv420_writer(64, 96, 95)
+    for a in range(0, 96, 32):
+        assert w.write(y[a:a + 32], cbcr[a // 2:(a + 32) // 2])
+    assert w.finish() == ref
