@@ -359,3 +359,41 @@ def test_incremental_encoder_abort_after_writes_no_corruption():
     for a in range(0, 96, 32):
         assert w.write(y[a:a + 32], cbcr[a // 2:(a + 32) // 2])
     assert w.finish() == ref
+
+
+def test_codec_fuzz_corrupt_jpegs_never_crash():
+    """All native decode entry points (incremental reader, raw-plane whole
+    decode, RGB decode) must survive arbitrarily corrupted JPEG bytes —
+    serve feeds them attacker-controlled request bodies. Bounded fuzz; the
+    full 2000-trial sweep ran clean when the double-free was fixed."""
+    nc = pytest.importorskip(
+        "collaborative_distillation_tpu.data.native_codec")
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(11)
+    rgb = (rng.random((96, 64, 3)) * 255).astype(np.uint8)
+    y, cbcr = nc.rgb_to_yuv420(rgb)
+    src = bytearray(nc.encode_jpeg_yuv420(y, cbcr, quality=95))
+    for trial in range(300):
+        buf = bytearray(src)
+        for _ in range(rng.integers(1, 10)):
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            elif mode == 1 and len(buf) > 4:
+                buf = buf[:rng.integers(2, len(buf))]
+            else:
+                pos = rng.integers(0, len(buf) + 1)
+                buf = (buf[:pos]
+                       + bytes(rng.integers(0, 256, rng.integers(1, 64),
+                                            dtype=np.uint8)) + buf[pos:])
+        data = bytes(buf)
+        rd = nc.jpeg_yuv420_reader(data)
+        if rd is not None:
+            try:
+                while not rd.done and rd.read(32) is not None:
+                    pass
+            finally:
+                rd.close()
+        nc.decode_jpeg_yuv420(data)
+        nc.decode_jpeg(data, [1, 2, 4, 8][trial % 4])
