@@ -433,3 +433,35 @@ def test_stylize_jpeg_matches_whole_path(rng):
     yo, co = eng.stylize_planes(dy, dc, s, alpha=0.8, style_key="fj")
     assert body == nc.encode_jpeg_yuv420(yo, co, quality=95)
     assert eng.stylize_jpeg(b"junk", s) is None
+
+
+def test_streamed_tail_failure_falls_back(rng, monkeypatch):
+    """An XLA runtime failure inside the streamed tail must degrade to the
+    per-stage slab path and still return a correct result (the engine's
+    compiler-error fallback covers the head+tail section)."""
+    from collaborative_distillation_tpu.wct import engine as eng_mod
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+    from collaborative_distillation_tpu.wct.slab import SlabCascade
+
+    if not eng_mod._XLA_ERRORS:
+        pytest.skip("no runtime error type on this jax version")
+    pyramid = _pyramid((2, 1), key=20)
+    c = (rng.random((96, 32, 3)) * 255).astype(np.uint8)
+    s = (rng.random((48, 32, 3)) * 255).astype(np.uint8)
+    eng = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                    slab_rows=32, fused=True, packed=False,
+                    stream_min_pix=0)
+    ref = eng.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
+
+    eng2 = WCTEngine(mode="16x", pyramid=pyramid, stages=(2, 1),
+                     slab_rows=32, fused=True, packed=False,
+                     stream_min_pix=0)
+
+    def boom(*a, **k):
+        raise eng_mod._XLA_ERRORS[0]("injected tail failure")
+
+    monkeypatch.setattr(SlabCascade, "stream_last_stage", boom)
+    with pytest.warns(RuntimeWarning, match="falling"):
+        out = eng2.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
+    assert eng2._fused_slab is None  # degraded for this engine's lifetime
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
