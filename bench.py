@@ -71,17 +71,40 @@ def wct_latency():
     return out
 
 
+# partial results survive a watchdog/exception so the JSON line still
+# carries whatever was measured before the relay collapsed
+_RESULTS: dict = {}
+
+
 def _main_guarded():
+    # watchdog: a fully collapsed relay (observed: 24 MB not moving in
+    # 240 s) can hang a transfer indefinitely — better to emit partial
+    # numbers than no JSON at all. SIGALRM interrupts the pool waits the
+    # chunked transfers block on (not a raw device call, but most of the
+    # long waits go through the pools).
+    import signal
+
+    def _watchdog(_sig, _frm):
+        raise TimeoutError("bench watchdog expired (relay collapsed?)")
+
+    try:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(int(os.environ.get("CD_TPU_BENCH_TIMEOUT", "2100")))
+    except (ValueError, OSError):  # non-main thread / platform quirk
+        pass
     try:
         return main()
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         log(f"bench failed: {type(e).__name__}: {e}")
+        headline = _RESULTS.get("uhd_device_mpix_s", 0.0)
         print(json.dumps({
-            "metric": "UHD 10240x4096 5-level WCT stylization (bench failed)",
-            "value": 0.0,
+            "metric": "UHD 10240x4096 5-level WCT stylization"
+                      + (" (bench PARTIAL)" if _RESULTS else " (bench failed)"),
+            "value": headline,
             "unit": "MPix/s",
-            "vs_baseline": 0.0,
-            "detail": {"error": f"{type(e).__name__}: {str(e)[:500]}"},
+            "vs_baseline": round(headline / BASELINE_MPIX_S, 3),
+            "detail": {**_RESULTS,
+                       "error": f"{type(e).__name__}: {str(e)[:500]}"},
         }))
         return 1
 
@@ -91,7 +114,7 @@ def main():
     import jax.numpy as jnp
     from collaborative_distillation_tpu.wct.engine import WCTEngine
 
-    results = {}
+    results = _RESULTS
     eng = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True)
     cu, su = load_pair(UHD_W, UHD_H)
 
