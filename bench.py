@@ -93,7 +93,9 @@ def _main_guarded():
     except (ValueError, OSError):  # non-main thread / platform quirk
         pass
     try:
-        return main()
+        rc = main()
+        signal.alarm(0)
+        return rc
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         log(f"bench failed: {type(e).__name__}: {e}")
         headline = _RESULTS.get("uhd_device_mpix_s", 0.0)
