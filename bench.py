@@ -97,6 +97,10 @@ def _main_guarded():
         signal.alarm(0)
         return rc
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        try:  # disarm first: an alarm firing mid-handler would lose the JSON
+            signal.alarm(0)
+        except (ValueError, OSError):
+            pass
         log(f"bench failed: {type(e).__name__}: {e}")
         headline = _RESULTS.get("uhd_device_mpix_s", 0.0)
         print(json.dumps({

@@ -15,7 +15,6 @@ import argparse
 import re
 import sys
 
-LINE_RE = re.compile(r"E(\d+)S(\d+) (.*?) \((\d+\.\d+ )?s/step\)")
 LOSS_RE = re.compile(r"([\w]+) \(\*[\d.e+-]+\): ([\d.e+-]+)")
 
 

@@ -154,9 +154,20 @@ def build_app(engine, log, *, max_styles: int = 256):
                         decode_jpeg_yuv420,
                         encode_jpeg,
                         encode_jpeg_yuv420,
+                        jpeg_dims,
                     )
-                    if (hasattr(engine, "stylize_planes")
-                            and getattr(engine, "transport", "rgb") != "rgb"):
+                    planes_ok = (hasattr(engine, "stylize_planes")
+                                 and getattr(engine, "transport", "rgb") != "rgb")
+                    if planes_ok and getattr(engine, "transport", "") == "auto":
+                        # honor the engine's documented 'auto' cutoff: below
+                        # _YUV_AUTO_PIX the link savings don't repay per-shape
+                        # compiles of the device YUV converters — take the
+                        # plain PIL+stylize path like direct callers do
+                        from ..wct.engine import _YUV_AUTO_PIX
+                        dims = jpeg_dims(data)
+                        if dims is not None and dims[0] * dims[1] < _YUV_AUTO_PIX:
+                            planes_ok = False
+                    if planes_ok:
                         # fully streamed JPEG->JPEG first: banded entropy
                         # decode under the upload, banded entropy encode
                         # under the readback, zero host pixel math. Skip

@@ -17,7 +17,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg",
+__all__ = ["available", "jpeg_dims", "decode_jpeg", "decode_jpeg_shorter_side", "encode_jpeg",
            "decode_jpeg_yuv420", "encode_jpeg_yuv420", "jpeg_yuv420_writer",
            "jpeg_yuv420_reader", "rgb_to_yuv420", "yuv420_to_rgb"]
 
@@ -25,9 +25,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _SRC = os.path.join(_REPO, "native", "imgcodec.cpp")
 _SO = os.path.join(_REPO, "native", "libimgcodec.so")
 # decompression-bomb guard for untrusted inputs (serve request bodies): a
-# few-KB JPEG can claim 65500x65500 dims (~4.3 GB Y plane). Matches PIL's
-# own MAX_IMAGE_PIXELS default so the native path is never more permissive
-# than the PIL fallback it sits in front of.
+# few-KB JPEG can claim 65500x65500 dims (~4.3 GB Y plane). The cap equals
+# PIL's MAX_IMAGE_PIXELS *warn* threshold, i.e. the native path is
+# intentionally stricter than the PIL fallback (which only hard-fails at 2x
+# that); 178-358 MPix inputs deliberately fall through to the slower PIL
+# decode rather than widening the fast path's attack surface.
 MAX_DECODE_PIXELS = int(os.environ.get("CD_TPU_MAX_DECODE_PIXELS",
                                        str(178956970)))
 
@@ -107,6 +109,18 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """JPEG bytes -> (width, height) from the header alone (no pixel decode).
+    Returns None if the native codec is unavailable or the header is bad."""
+    lib = _load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.cd_jpeg_dims(data, len(data), 1, ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
 
 
 def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray | None:

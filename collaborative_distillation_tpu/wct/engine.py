@@ -378,6 +378,13 @@ class WCTEngine:
         dev = []
         with ThreadPoolExecutor(2) as up:
             for yb, cb in bands:
+                if len(dev) >= 2:
+                    # backpressure: when the producer (native decode) outruns
+                    # the relay, waiting on band i-2 before pulling band i
+                    # caps the host working set at ~3 bands instead of
+                    # accumulating every decoded band in RAM
+                    dev[-2][0].result()
+                    dev[-2][1].result()
                 dev.append((up.submit(jnp.asarray, yb),
                             up.submit(jnp.asarray, cb)))
             y = jnp.concatenate([fy.result() for fy, _ in dev], axis=1)

@@ -191,6 +191,9 @@ int cd_jpeg_decode_yuv420(const uint8_t* data, long len,
     return -2;
   }
   const bool is420 =
+      !cinfo.progressive_mode &&  // progressive buffers the full coefficient
+      // array and blocks the first read on all scans — no streaming benefit;
+      // let the caller fall back instead of silently degrading
       cinfo.jpeg_color_space == JCS_YCbCr && cinfo.num_components == 3 &&
       cinfo.comp_info[0].h_samp_factor == 2 &&
       cinfo.comp_info[0].v_samp_factor == 2 &&
@@ -701,6 +704,7 @@ void* cd_jpeg_dec_begin(const uint8_t* data, long len, int* out_w, int* out_h) {
     return nullptr;
   }
   const bool is420 =
+      !st->cinfo.progressive_mode &&  // see cd_jpeg_decode_yuv420: baseline only
       st->cinfo.jpeg_color_space == JCS_YCbCr && st->cinfo.num_components == 3 &&
       st->cinfo.comp_info[0].h_samp_factor == 2 &&
       st->cinfo.comp_info[0].v_samp_factor == 2 &&
