@@ -33,7 +33,8 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
-def build_app(engine, log, *, max_styles: int = 256):
+def build_app(engine, log, *, max_styles: int = 256,
+              warm_shapes: list[tuple[int, int]] | None = None):
     from collections import OrderedDict
 
     from PIL import Image
@@ -80,6 +81,27 @@ def build_app(engine, log, *, max_styles: int = 256):
             log(f"style {keyed!r} warm")
         except Exception as e:  # noqa: BLE001 — warm-up is best-effort
             log(f"style warm-up failed for {keyed!r}: {type(e).__name__}: {e}")
+
+    def warm_shape(h: int, w: int) -> None:
+        # pre-compile the cascade for a canonical request shape so the first
+        # real request at that shape is not a ~60 s compile outlier; with the
+        # persistent compilation cache enabled this also only ever costs a
+        # full compile once per machine, not once per process
+        try:
+            content = np.zeros((h, w, 3), np.uint8)
+            probe_style = np.zeros((64, 64, 3), np.uint8)
+            with lock:
+                engine.stylize(content, probe_style, style_key="__shape_warm__",
+                               as_uint8=True)
+            log(f"shape {h}x{w} warm")
+        except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+            log(f"shape warm-up failed for {h}x{w}: {type(e).__name__}: {e}")
+
+    if warm_shapes:
+        def _warm_all():
+            for h, w in warm_shapes:
+                warm_shape(h, w)
+        threading.Thread(target=_warm_all, daemon=True).start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -254,7 +276,16 @@ def main(argv=None) -> int:
                     help="host<->device transport for images (yuv420 halves "
                          "link bytes; both endpoints are JPEGs)")
     ap.add_argument("--weights_root", default="")
+    ap.add_argument("--warm_shapes", default="",
+                    help="comma-separated HxW request shapes to pre-compile at "
+                         "startup (e.g. '1080x1920,2160x3840'); the compiles "
+                         "land in the persistent cache, so later processes "
+                         "warm from disk in seconds")
     args = ap.parse_args(argv)
+    warm_shapes = []
+    for tok in filter(None, (t.strip() for t in args.warm_shapes.split(","))):
+        h, w = tok.lower().split("x")
+        warm_shapes.append((int(h), int(w)))
 
     from ..utils.logging import LogPrinter
     from ..wct.engine import WCTEngine
@@ -263,7 +294,9 @@ def main(argv=None) -> int:
     engine = WCTEngine(mode=args.mode, weights_root=args.weights_root or None,
                        method=args.method, slab_rows=args.slab_rows,
                        transport=args.transport)
-    server = ThreadingHTTPServer((args.host, args.port), build_app(engine, log))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        build_app(engine, log, warm_shapes=warm_shapes))
     log(f"serving mode={args.mode} on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -74,6 +74,8 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, student_params, frozen_params,
                  *, mesh: Mesh | None = None):
+        from ..utils.jaxconfig import enable_persistent_cache
+        enable_persistent_cache()  # replay step compiles across processes
         self.cfg = cfg
         self.loss_graph, self.loss_weights = make_loss_fn(cfg)
         self.tx = optax.adam(cfg.lr)

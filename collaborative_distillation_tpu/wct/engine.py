@@ -158,6 +158,11 @@ class WCTEngine:
         if transport not in ("auto", "rgb", "yuv420"):
             raise ValueError(
                 f"transport must be 'auto', 'rgb' or 'yuv420', got {transport!r}")
+        # persistent XLA compilation cache: every process after the first
+        # replays the cascade compiles from disk instead of repaying the
+        # 40-140 s remote-compile cost (see utils/jaxconfig.py)
+        from ..utils.jaxconfig import enable_persistent_cache
+        enable_persistent_cache()
         self.mode = mode
         self.method = method
         # host<->device transport for uint8 images: "yuv420" moves JPEG-native

@@ -209,3 +209,18 @@ def test_streamed_jpeg_path_over_http(rng):
         finally:
             srv.shutdown()
     assert bodies[0] == bodies[1]  # streamed == whole-path bytes
+
+
+def test_warm_shapes_precompiles_at_startup():
+    """build_app(warm_shapes=...) drives the engine at the given shape from a
+    background thread so the first real request at that shape is warm."""
+    import time
+
+    logs = []
+    build_app(_toy_engine(), logs.append, warm_shapes=[(32, 48)])
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any("shape 32x48 warm" in m for m in logs):
+            break
+        time.sleep(0.1)
+    assert any("shape 32x48 warm" in m for m in logs), logs

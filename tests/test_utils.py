@@ -98,3 +98,28 @@ def test_throughput_and_step_timer():
 def test_trace_noop_without_logdir():
     with trace(None):
         pass  # must not require jax profiler setup
+
+
+def test_persistent_cache_config(tmp_path, monkeypatch):
+    """enable_persistent_cache points JAX at the env dir, idempotently."""
+    from collaborative_distillation_tpu.utils import jaxconfig
+
+    monkeypatch.setattr(jaxconfig, "_done", False)
+    monkeypatch.setattr(jaxconfig, "_configured", None)
+    monkeypatch.setenv("CD_TPU_COMPILATION_CACHE_DIR", str(tmp_path / "xla"))
+    d = jaxconfig.enable_persistent_cache()
+    assert d == str(tmp_path / "xla") and __import__("os").path.isdir(d)
+    import jax
+    assert jax.config.jax_compilation_cache_dir == d
+    # second call is a no-op returning the same dir, even if env changes
+    monkeypatch.setenv("CD_TPU_COMPILATION_CACHE_DIR", "elsewhere")
+    assert jaxconfig.enable_persistent_cache() == d
+
+
+def test_persistent_cache_env_disable(monkeypatch):
+    from collaborative_distillation_tpu.utils import jaxconfig
+
+    monkeypatch.setattr(jaxconfig, "_done", False)
+    monkeypatch.setattr(jaxconfig, "_configured", None)
+    monkeypatch.setenv("CD_TPU_COMPILATION_CACHE_DIR", "off")
+    assert jaxconfig.enable_persistent_cache() is None
