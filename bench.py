@@ -52,22 +52,47 @@ def load_pair(cw, ch, sw=2048, sh=2048):
 
 
 def wct_latency():
-    """Per-level WCT cov+eig (+coloring) latency at UHD feature scales."""
+    """Per-level WCT cov+eig (+coloring) latency at UHD feature scales.
+
+    Relay-immune methodology (the r01->r02 "2x regression" postmortem): the
+    old loop issued 5 separate dispatches, each paying a congestion-dependent
+    RPC to the axon backend — the number tracked the relay, not the chip
+    (measured 7-17 ms for a ~1 ms transform). Now the transform runs inside a
+    single jitted lax.fori_loop (iterations serialized by the data
+    dependency), and the per-iteration time is the difference between a
+    22-iteration and a 2-iteration program — one dispatch + one readback
+    each, so their shared overhead cancels exactly.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from collaborative_distillation_tpu.ops.wct_transform import wct_transform, feature_stats
 
     out = {}
     for c_ch, hw in [(24, (2560, 1024)), (128, (640, 256))]:  # 16x stage-1 / stage-5-ish
         x = jnp.asarray(np.random.default_rng(0).random((1, *hw, c_ch), np.float32))
         s_mean, s_cov = feature_stats(x)
-        f = jax.jit(lambda a, m, cv: wct_transform(a, m, cv, 1.0))
-        float(jnp.sum(f(x, s_mean, s_cov)[0, 0, 0]))  # force (block_until_ready lies here)
-        t0 = time.time()
-        for _ in range(5):
-            r = f(x, s_mean, s_cov)
-        float(jnp.sum(r[0, 0, 0]))
-        out[f"C={c_ch}"] = (time.time() - t0) / 5 * 1000
+
+        def mk(n):
+            return jax.jit(lambda a, m, cv: lax.fori_loop(
+                0, n, lambda i, v: wct_transform(v, m, cv, 1.0), a))
+
+        f2, f22 = mk(2), mk(22)
+        # warm both programs (block_until_ready lies on this backend: force
+        # completion with a scalar readback)
+        float(jnp.sum(f2(x, s_mean, s_cov)[0, 0, 0]))
+        float(jnp.sum(f22(x, s_mean, s_cov)[0, 0, 0]))
+
+        def best(fn):
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                r = fn(x, s_mean, s_cov)
+                float(jnp.sum(r[0, 0, 0]))
+                b = min(b, time.time() - t0)
+            return b
+
+        out[f"C={c_ch}"] = (best(f22) - best(f2)) / 20 * 1000
     return out
 
 
