@@ -235,6 +235,24 @@ def main():
     results["2k_e2e_mpix_s"] = round(2048 * 1024 / 1e6 / best2, 2)
     log(f"2K end-to-end: {best2:.3f}s = {results['2k_e2e_mpix_s']} MPix/s")
 
+    # 2K device-only: separates compute from transport so a congested relay
+    # can't masquerade as a pipeline regression (r02 had no such number)
+    cd2 = eng._u8_to_float(jnp.asarray(c2[None]))
+    sd2 = eng._fused_style_stats(eng._u8_to_float(jnp.asarray(s2[None])),
+                                 style_key="bench2k-dev")
+    fn2k, fparams2k = eng._fused_slab
+    t0 = time.time()
+    float(jnp.sum(fn2k(fparams2k, cd2, sd2, 1.0)[0, ::97, ::97, 0]))  # warm
+    log(f"2K device warm-up: {time.time() - t0:.1f}s")
+    best2d = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(fn2k(fparams2k, cd2, sd2, 1.0)[0, ::97, ::97, 0]))
+        best2d = min(best2d, time.time() - t0)
+    results["2k_device_s"] = round(best2d, 3)
+    log(f"2K on-device: {best2d:.3f}s "
+        f"(link share of e2e: {best2 - best2d:.3f}s)")
+
     # 4x4 content x style grid at 2K, pipelined (upload/compute/readback
     # overlapped across pairs, style stats cached per style)
     rng = np.random.default_rng(1)
@@ -251,7 +269,19 @@ def main():
     outs = list(eng.stylize_pairs(pairs, style_keys=keys))
     grid_dt = (time.time() - t0) / len(pairs)
     results["grid_2k_s_per_pair"] = round(grid_dt, 3)
-    log(f"4x4 grid @2K pipelined: {grid_dt:.3f} s/pair")
+    # link-saturation floor for one pair at this relay's measured bandwidth:
+    # 4:2:0 transport moves 1.5 B/px each way. When grid s/pair sits at this
+    # floor, cross-pair pipelining has already hidden all compute under the
+    # transfers and only a faster link can improve it.
+    if "relay_h2d_mbps" in results and "relay_d2h_mbps" in results:
+        pair_mb = 2048 * 1024 * 1.5 / 1e6
+        floor = (pair_mb / max(results["relay_h2d_mbps"], 0.1)
+                 + pair_mb / max(results["relay_d2h_mbps"], 0.1))
+        results["grid_2k_link_floor_s"] = round(floor, 3)
+        log(f"4x4 grid @2K pipelined: {grid_dt:.3f} s/pair "
+            f"(link floor at probed bandwidth: {floor:.3f}s)")
+    else:
+        log(f"4x4 grid @2K pipelined: {grid_dt:.3f} s/pair")
 
     # on-device cascade (the hardware-limited number)
     cd = eng._u8_to_float(jnp.asarray(cu[None]))
@@ -282,6 +312,84 @@ def main():
     headline = round(mpix / best_dev, 2)
     results["uhd_device_mpix_s"] = headline
     log(f"UHD on-device cascade: {best_dev:.2f}s = {headline:.2f} MPix/s")
+
+    # bf16 on-device cascade: the cascade is HBM-bandwidth-bound (docs/DESIGN
+    # §3), so halving activation/weight bytes should land near 2x. WCT
+    # statistics/eigh stay f32 internally (ops/wct_transform.py upcasts), so
+    # the quality delta is conv-accumulation only — measured as PSNR vs the
+    # f32 output, computed on-device (one scalar crosses the relay).
+    try:
+        out32 = fn(fparams, cd, sd, 1.0)
+        eng16 = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True,
+                          dtype=jnp.bfloat16)
+        cd16 = cd.astype(jnp.bfloat16)
+        sd16 = eng16._fused_style_stats(
+            eng16._u8_to_float(jnp.asarray(su[None])).astype(jnp.bfloat16),
+            style_key="bench-dev16")
+        fn16, fparams16 = eng16._fused_slab
+        t0 = time.time()
+        out16 = fn16(fparams16, cd16, sd16, 1.0)
+        force(out16)
+        log(f"bf16 warm-up (compile): {time.time() - t0:.1f}s")
+        best16 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force(fn16(fparams16, cd16, sd16, 1.0))
+            best16 = min(best16, time.time() - t0)
+        results["uhd_device_s_bf16"] = round(best16, 2)
+        results["uhd_device_mpix_s_bf16"] = round(mpix / best16, 2)
+        psnr = jax.jit(lambda a, b: -10.0 * jnp.log10(jnp.maximum(
+            jnp.mean(jnp.square(jnp.clip(a.astype(jnp.float32), 0, 1)
+                                - jnp.clip(b.astype(jnp.float32), 0, 1))),
+            1e-12)))
+        results["uhd_bf16_psnr_db"] = round(float(psnr(out32, out16)), 1)
+        log(f"UHD on-device cascade bf16: {best16:.2f}s = "
+            f"{results['uhd_device_mpix_s_bf16']} MPix/s, "
+            f"PSNR vs f32 {results['uhd_bf16_psnr_db']} dB")
+        del out32, out16, cd16
+    except Exception as e:  # noqa: BLE001 — optional metric
+        log(f"bf16 bench skipped: {e}")
+
+    # teacher (original) mode on-device: the reference's original models
+    # cannot fit UHD on a 12 GB GPU at all (README.md:2) — running them at
+    # UHD on one chip is a headline of its own. Packed kernels are auto-off
+    # here (wide-W compiler crash; see engine packed=None logic + test).
+    try:
+        opyr = None
+        if not os.path.isdir(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "weights", "original")):
+            # teacher checkpoints are external downloads (reference README:26);
+            # random-init the same specs — identical compute graph, identical
+            # performance, only the pixels differ
+            from collaborative_distillation_tpu.models.specs import (
+                decoder_spec, encoder_spec)
+            from collaborative_distillation_tpu.models.vgg import init_params
+            key = jax.random.key(0)
+            opyr = {}
+            for s in (5, 4, 3, 2, 1):
+                key, k1, k2 = jax.random.split(key, 3)
+                es, ds = encoder_spec("original", s), decoder_spec("original", s)
+                opyr[s] = {"enc_spec": es, "dec_spec": ds,
+                           "enc": init_params(es, k1), "dec": init_params(ds, k2)}
+        engo = WCTEngine(mode="original", slab_rows=1024, fused=True, pyramid=opyr)
+        sdo = engo._fused_style_stats(
+            engo._u8_to_float(jnp.asarray(su[None])), style_key="bench-devo")
+        fno, fparamso = engo._fused_slab
+        t0 = time.time()
+        force(fno(fparamso, cd, sdo, 1.0))
+        log(f"original-mode warm-up (compile): {time.time() - t0:.1f}s")
+        besto = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(fno(fparamso, cd, sdo, 1.0))
+            besto = min(besto, time.time() - t0)
+        results["uhd_original_device_s"] = round(besto, 2)
+        results["uhd_original_device_mpix_s"] = round(mpix / besto, 2)
+        log(f"UHD original-mode on-device: {besto:.2f}s = "
+            f"{results['uhd_original_device_mpix_s']} MPix/s")
+        del engo, sdo
+    except Exception as e:  # noqa: BLE001 — optional metric
+        log(f"original-mode bench skipped: {e}")
 
     try:
         lat = wct_latency()

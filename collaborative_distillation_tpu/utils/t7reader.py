@@ -44,17 +44,37 @@ _TYPE_LEGACY_RECUR_FUNCTION = 7
 _STORAGE_DTYPES = {
     "torch.DoubleStorage": (np.dtype("<f8"), 8),
     "torch.FloatStorage": (np.dtype("<f4"), 4),
+    "torch.HalfStorage": (np.dtype("<f2"), 2),
     "torch.LongStorage": (np.dtype("<i8"), 8),
     "torch.IntStorage": (np.dtype("<i4"), 4),
     "torch.ShortStorage": (np.dtype("<i2"), 2),
     "torch.CharStorage": (np.dtype("i1"), 1),
     "torch.ByteStorage": (np.dtype("u1"), 1),
+    # GPU-saved checkpoints: Torch7 serializes Cuda*Storage with the same
+    # wire layout as the host storage of the element type (cutorch's
+    # THCStorage copies to host on write). A model saved without :float()
+    # (the reference's teachers WERE saved from CPU, but third-party .t7s
+    # often aren't) must parse, not crash.
+    "torch.CudaStorage": (np.dtype("<f4"), 4),
+    "torch.CudaDoubleStorage": (np.dtype("<f8"), 8),
+    "torch.CudaHalfStorage": (np.dtype("<f2"), 2),
+    "torch.CudaLongStorage": (np.dtype("<i8"), 8),
+    "torch.CudaIntStorage": (np.dtype("<i4"), 4),
+    "torch.CudaByteStorage": (np.dtype("u1"), 1),
 }
 _TENSOR_CLASSES = {
-    "torch.DoubleTensor", "torch.FloatTensor", "torch.LongTensor",
-    "torch.IntTensor", "torch.ShortTensor", "torch.CharTensor",
-    "torch.ByteTensor", "torch.CudaTensor",
+    "torch.DoubleTensor", "torch.FloatTensor", "torch.HalfTensor",
+    "torch.LongTensor", "torch.IntTensor", "torch.ShortTensor",
+    "torch.CharTensor", "torch.ByteTensor", "torch.CudaTensor",
+    "torch.CudaDoubleTensor", "torch.CudaHalfTensor", "torch.CudaLongTensor",
+    "torch.CudaIntTensor", "torch.CudaByteTensor",
 }
+
+# fuzz-hardening caps: a hostile few-KB file can claim arbitrary dimension
+# counts / sizes; everything must fail with EOFError/ValueError, never an
+# out-of-bounds read (as_strided is unchecked!), OOM, or hang.
+_MAX_NDIM = 32
+_MAX_ELEMS = 1 << 31
 
 
 @dataclass
@@ -77,6 +97,8 @@ class _Reader:
         self.memo: dict[int, Any] = {}
 
     def _take(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError(f"negative length {n} in t7 stream")
         b = self.data[self.pos: self.pos + n]
         if len(b) != n:
             raise EOFError("truncated t7 file")
@@ -97,6 +119,8 @@ class _Reader:
         return self._take(n).decode("utf-8", errors="replace")
 
     def int64s(self, n: int) -> list[int]:
+        if n < 0:
+            raise ValueError(f"negative count {n} in t7 stream")
         return list(struct.unpack(f"<{n}q", self._take(8 * n)))
 
     # ---- object graph ----
@@ -163,12 +187,34 @@ class _Reader:
 
     def _tensor(self) -> np.ndarray | None:
         ndim = self.int32()
+        if ndim < 0 or ndim > _MAX_NDIM:
+            raise ValueError(f"implausible tensor ndim {ndim}")
         sizes = self.int64s(ndim)
         strides = self.int64s(ndim)
         offset = self.int64() - 1
         storage = self.obj()
         if storage is None or ndim == 0:
             return None
+        # every check below guards np.as_strided, which performs NO bounds
+        # checking of its own: a hostile size/stride/offset combination would
+        # otherwise read arbitrary process memory (or "just" OOM in .copy())
+        if not isinstance(storage, np.ndarray):
+            raise ValueError(
+                f"tensor storage is {type(storage).__name__}, not a storage")
+        if offset < 0 or any(s < 0 for s in sizes):
+            raise ValueError("negative tensor size/offset")
+        if any(s == 0 for s in sizes):
+            return np.zeros(tuple(sizes), storage.dtype)
+        n_elems = 1
+        for s in sizes:
+            n_elems *= s
+            if n_elems > _MAX_ELEMS:
+                raise ValueError(f"implausible tensor element count {n_elems}")
+        lo = offset + sum((sz - 1) * st for sz, st in zip(sizes, strides) if st < 0)
+        hi = offset + sum((sz - 1) * st for sz, st in zip(sizes, strides) if st > 0)
+        if lo < 0 or hi >= storage.size:
+            raise ValueError(
+                f"tensor view [{lo}, {hi}] escapes its {storage.size}-element storage")
         return np.lib.stride_tricks.as_strided(
             storage[offset:],
             shape=tuple(sizes),
@@ -178,7 +224,12 @@ class _Reader:
     def _storage(self, cls: str) -> np.ndarray:
         dtype, width = _STORAGE_DTYPES[cls]
         n = self.int64()
-        return np.frombuffer(self._take(n * width), dtype=dtype).copy()
+        if n < 0:
+            raise ValueError(f"negative storage count {n}")
+        arr = np.frombuffer(self._take(n * width), dtype=dtype)
+        if dtype == np.dtype("<f2"):  # half: widen once at the boundary
+            return arr.astype(np.float32)
+        return arr.copy()
 
     def _function(self, tag: int):
         size = self.int32()
@@ -218,9 +269,15 @@ def read_t7_conv_layers(path: str) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         w, b = mod.get("weight"), mod.get("bias")
         if isinstance(w, np.ndarray) and isinstance(b, np.ndarray):
             if w.ndim == 2:  # SpatialConvolution stored flattened (out, in*kh*kw)
-                kh = int(mod.get("kH", 1))
-                kw_ = int(mod.get("kW", 1))
-                cin = int(mod.get("nInputPlane", w.shape[1] // (kh * kw_)))
+                kh = int(mod.get("kH", 1) or 1)
+                kw_ = int(mod.get("kW", 1) or 1)
+                if kh <= 0 or kw_ <= 0:
+                    raise ValueError(f"module {i}: bad kernel dims {kh}x{kw_}")
+                cin = int(mod.get("nInputPlane", 0) or w.shape[1] // (kh * kw_))
+                if cin * kh * kw_ != w.shape[1]:
+                    raise ValueError(
+                        f"module {i}: flattened weight {w.shape} inconsistent "
+                        f"with nInputPlane={cin}, kH={kh}, kW={kw_}")
                 w = w.reshape(w.shape[0], cin, kh, kw_)
             layers[i] = (np.asarray(w, np.float64), np.asarray(b, np.float64))
     return layers

@@ -99,3 +99,32 @@ def test_engine_pwct_path(weights_root, rng):
     out_pwct = eng.stylize(c, s, pwct=True)
     assert out_pwct.shape == c.shape and np.isfinite(out_pwct).all()
     assert not np.allclose(out_pwct, out_std)
+
+
+def test_teacher_mode_auto_disables_packed():
+    """Regression pin for the wide-W packed-conv TPU compiler crash: packed
+    kernels are auto-off for mode='original' (crash observed at >= 5120 px
+    wide teacher convs through the remote compiler) and auto-on for the
+    skinny 16x students, unless the caller overrides explicitly."""
+    import jax
+
+    from collaborative_distillation_tpu.models import (
+        decoder_spec, encoder_spec, init_params)
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    def pyr(family):
+        espec = encoder_spec(family, 1, aux=(family != "original"))
+        dspec = decoder_spec(family, 1)
+        return {1: {"enc_spec": espec, "dec_spec": dspec,
+                    "enc": init_params(espec, jax.random.key(0)),
+                    "dec": init_params(dspec, jax.random.key(1))}}
+
+    teacher = WCTEngine(mode="original", stages=(1,), pyramid=pyr("original"),
+                        slab_rows=32)
+    assert teacher.slab.packed is False
+    student = WCTEngine(mode="16x", stages=(1,), pyramid=pyr("16x"),
+                        slab_rows=32)
+    assert student.slab.packed is True
+    forced = WCTEngine(mode="original", stages=(1,), pyramid=pyr("original"),
+                       slab_rows=32, packed=True)
+    assert forced.slab.packed is True
