@@ -236,18 +236,22 @@ def main():
     log(f"2K end-to-end: {best2:.3f}s = {results['2k_e2e_mpix_s']} MPix/s")
 
     # 2K device-only: separates compute from transport so a congested relay
-    # can't masquerade as a pipeline regression (r02 had no such number)
+    # can't masquerade as a pipeline regression (r02 had no such number).
+    # Goes through _run_device — the engine's real dispatch (slab re-pick for
+    # the 1024-row height, style-stat cache) — with device-resident inputs,
+    # stream_ok=False so the monolithic program's full compute is timed.
     cd2 = eng._u8_to_float(jnp.asarray(c2[None]))
-    sd2 = eng._fused_style_stats(eng._u8_to_float(jnp.asarray(s2[None])),
-                                 style_key="bench2k-dev")
-    fn2k, fparams2k = eng._fused_slab
+    sdev2 = eng._u8_to_float(jnp.asarray(s2[None]))
+    run2k = lambda: eng._run_device(
+        cd2, sdev2, 1.0, num_run=1, style_key="bench2k-dev", as_uint8=False,
+        pwct=False, orig_hw=(1024, 2048), stream_ok=False)
     t0 = time.time()
-    float(jnp.sum(fn2k(fparams2k, cd2, sd2, 1.0)[0, ::97, ::97, 0]))  # warm
+    float(jnp.sum(run2k()[0, ::97, ::97, 0]))  # warm (compile)
     log(f"2K device warm-up: {time.time() - t0:.1f}s")
     best2d = float("inf")
     for _ in range(3):
         t0 = time.time()
-        float(jnp.sum(fn2k(fparams2k, cd2, sd2, 1.0)[0, ::97, ::97, 0]))
+        float(jnp.sum(run2k()[0, ::97, ::97, 0]))
         best2d = min(best2d, time.time() - t0)
     results["2k_device_s"] = round(best2d, 3)
     log(f"2K on-device: {best2d:.3f}s "

@@ -6,7 +6,7 @@ script for — quality there is judged by the training loop's saved
 ``[content; reconstruction]`` grids (main.py:121-126). This tool computes
 the numbers:
 
-* reconstruction PSNR/MSE of ``dec_k(enc_k(x))`` against ``x`` per stage —
+* reconstruction PSNR/SSIM/MSE of ``dec_k(enc_k(x))`` against ``x`` per stage —
   exactly what the pixel loss optimizes (model/model.py:29, 47);
 * with ``--teacher_root``, the per-stage feature-distillation error between
   the student encoder's aux-adapted taps and the teacher's taps (the
@@ -29,6 +29,36 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(peak * peak / mse)
+
+
+def _gauss_filter(x: np.ndarray, win: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """Separable Gaussian over the H, W axes of (N, H, W, C), 'valid' edges
+    (the standard SSIM prescription drops the border instead of padding)."""
+    g = np.exp(-0.5 * ((np.arange(win) - win // 2) / sigma) ** 2)
+    g /= g.sum()
+    x = np.apply_along_axis(lambda v: np.convolve(v, g, mode="valid"), 1, x)
+    return np.apply_along_axis(lambda v: np.convolve(v, g, mode="valid"), 2, x)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0, *, win: int = 11,
+         sigma: float = 1.5) -> float:
+    """Mean single-scale SSIM (Wang et al. 2004: 11x11 Gaussian window,
+    sigma 1.5, k1=0.01, k2=0.03), channels treated as independent planes and
+    averaged — the convention the paper's quality tables use. Inputs
+    (N, H, W, C) or (H, W, C) in [0, peak]."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3:
+        a, b = a[None], b[None]
+    c1, c2 = (0.01 * peak) ** 2, (0.03 * peak) ** 2
+    mu_a = _gauss_filter(a, win, sigma)
+    mu_b = _gauss_filter(b, win, sigma)
+    var_a = _gauss_filter(a * a, win, sigma) - mu_a * mu_a
+    var_b = _gauss_filter(b * b, win, sigma) - mu_b * mu_b
+    cov = _gauss_filter(a * b, win, sigma) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
+    return float(np.mean(num / den))
 
 
 def main(argv=None) -> int:
@@ -77,6 +107,7 @@ def main(argv=None) -> int:
         rec = np.clip(np.asarray(fn(pyramid[k]["enc"], pyramid[k]["dec"],
                                     jnp.asarray(imgs))), 0.0, 1.0)
         row = {"psnr": round(psnr(rec, imgs), 2),
+               "ssim": round(ssim(rec, imgs), 4),
                "mse": round(float(np.mean((rec - imgs) ** 2)), 6)}
         if k in teachers and es.aux:
             # the wct_se feat loss (model/model.py:24-26): student aux taps

@@ -62,6 +62,14 @@ STYLE_CACHE_MAX = int(__import__("os").environ.get("CD_TPU_STYLE_CACHE", "64"))
 # break even everywhere above it.
 _YUV_AUTO_PIX = int(__import__("os").environ.get("CD_TPU_YUV_AUTO_PIX",
                                                  str(2 * 1024 * 1024)))
+# guard for the per-conv-halo spatial path (space>0 WITHOUT slab_rows),
+# which keeps full per-shard feature pyramids resident: beyond this many
+# pixels per shard it would OOM like the monolithic single-chip graph does
+# at UHD (the slab-in-shard cascade exists precisely for that regime).
+# 16 MPix/shard ~= a 4K image per chip at 16x student widths — comfortably
+# inside HBM; the 42 MPix monolithic UHD graph is known NOT to fit.
+_TILED_MAX_SHARD_PIX = int(__import__("os").environ.get(
+    "CD_TPU_TILED_MAX_SHARD_PIX", str(16 * 1024 * 1024)))
 
 
 class _CorruptJpeg(Exception):
@@ -793,6 +801,22 @@ class WCTEngine:
                           for k in self.stages}
                 sty = jax.device_put(sstats, NamedSharding(self.mesh, P()))
             else:
+                # the per-conv-halo path (space>0 without slab_rows) holds
+                # FULL per-shard feature maps: at stage 1 that is
+                # 24ch x 4B x H/space x W per chip plus the pyramid's
+                # intermediates — the same O(H*W) footprint whose avoidance
+                # is the whole point of the slab cascade. Refuse ultra-
+                # resolution inputs with a pointer instead of an opaque
+                # device OOM minutes into a compile.
+                per_shard_pix = img.shape[1] * img.shape[2] / max(self.space, 1)
+                if per_shard_pix > _TILED_MAX_SHARD_PIX:
+                    raise ValueError(
+                        f"{img.shape[1]}x{img.shape[2]} over space={self.space} "
+                        f"leaves {per_shard_pix / 1e6:.0f} MPix of full-height "
+                        f"feature maps per chip on the per-conv-halo path; "
+                        f"construct the engine with slab_rows (HBM-bounded "
+                        f"slab-in-shard cascade) for images this large, or "
+                        f"raise CD_TPU_TILED_MAX_SHARD_PIX explicitly")
                 sty = jax.device_put(sty, sharding)
             img = jax.device_put(img, sharding)
             for _ in range(num_run):

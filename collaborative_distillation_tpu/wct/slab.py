@@ -618,6 +618,13 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
 
     def fn(p, img, style, alpha):
         h = img.shape[1]
+        if h < slab or h % slab:
+            # direct callers (the engine pads/bypasses before calling): fail
+            # loudly instead of scanning over zero slabs or dropping rows
+            raise ValueError(
+                f"image height {h} must be a positive multiple of slab_rows="
+                f"{slab}; pad the image or pick a smaller slab "
+                f"(WCTEngine.stylize does both automatically)")
         n_slabs = h // slab
         for k in stages:
             mk = helper.margins[k]  # per-stage ghost rows (144..16)

@@ -174,3 +174,33 @@ def test_stylize_cli_space_flag(weights_root, tmp_path):
     assert rc == 0
     outs = [f for f in os.listdir(outf) if f.endswith(".jpg")]
     assert len(outs) == 1
+
+
+def test_per_conv_halo_path_refuses_ultra_resolution(monkeypatch):
+    """space>0 without slab_rows keeps full per-shard feature pyramids in
+    HBM; at UHD that OOMs exactly like the monolithic single-chip graph.
+    The engine must refuse with a pointer to slab_rows, not device-OOM."""
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from collaborative_distillation_tpu.models.specs import (
+        decoder_spec, encoder_spec)
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.wct import engine as engine_mod
+
+    key = jax.random.key(0)
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    pyr = {1: {"enc_spec": espec, "dec_spec": dspec,
+               "enc": init_params(espec, key),
+               "dec": init_params(dspec, key)}}
+    eng = engine_mod.WCTEngine(mode="16x", pyramid=pyr, stages=(1,), space=4)
+    monkeypatch.setattr(engine_mod, "_TILED_MAX_SHARD_PIX", 1024)
+    big = np.zeros((256, 64, 3), np.float32)  # 4096 px/shard > patched cap
+    with _pytest.raises(ValueError, match="slab_rows"):
+        eng.stylize(big, big)
+    # below the cap still runs
+    small = np.zeros((64, 64, 3), np.float32)
+    out = eng.stylize(small, small)
+    assert out.shape == small.shape

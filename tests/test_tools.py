@@ -148,3 +148,27 @@ def test_train_stage0_runs_all_stages(monkeypatch):
                         lambda args, k: ran.append(k) or (1 if k == 4 else 0))
     assert t.main(["--mode", "wct_se", "--stage", "0"]) == 1
     assert ran == [5, 4]
+
+
+def test_ssim_properties(rng):
+    """SSIM: 1.0 on identity, monotone under growing noise, penalizes
+    structural scrambling far more than PSNR-equivalent noise."""
+    from collaborative_distillation_tpu.cli.eval import ssim
+
+    x = rng.random((48, 48, 3))
+    assert abs(ssim(x, x) - 1.0) < 1e-9
+    small = np.clip(x + rng.normal(0, 0.02, x.shape), 0, 1)
+    big = np.clip(x + rng.normal(0, 0.2, x.shape), 0, 1)
+    s_small, s_big = ssim(x, small), ssim(x, big)
+    assert 1.0 > s_small > s_big
+    # shuffling pixels keeps the histogram (and roughly the MSE-vs-mean)
+    # but destroys structure: SSIM must fall off a cliff
+    flat = x.reshape(-1, 3).copy()
+    rng.shuffle(flat, axis=0)
+    assert ssim(x, flat.reshape(x.shape)) < 0.2
+    # batch form agrees with the mean of singles
+    a = rng.random((2, 32, 32, 3))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    batched = ssim(a, b)
+    singles = (ssim(a[0], b[0]) + ssim(a[1], b[1])) / 2
+    assert abs(batched - singles) < 1e-9
