@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "rgb", "yuv420"],
                     help="host<->device image transport; yuv420 moves "
                          "JPEG-native 4:2:0 planes (half the link bytes)")
+    ap.add_argument("--halo", default="ppermute",
+                    choices=["ppermute", "pallas"],
+                    help="multi-chip halo exchange: XLA ppermute collective "
+                         "or the Pallas RDMA kernel (ops/pallas/halo.py); "
+                         "only meaningful with --space > 1 + --slab_rows")
     ap.add_argument("--profile", type=str, default="",
                     help="write a jax.profiler trace to this dir")
     return ap
@@ -89,7 +94,7 @@ def main(argv=None) -> int:
         mode=args.mode, weights_root=args.weights_root or None,
         method=args.method, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         space=args.space, slab_rows=args.slab_rows, packed=args.packed,
-        transport=args.transport)
+        transport=args.transport, halo=args.halo)
     tp = Throughput()
     total_t = 0.0
     profile_ctx = trace(args.profile)

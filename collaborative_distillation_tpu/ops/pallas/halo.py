@@ -19,9 +19,12 @@ Exchange pattern (SPMD over a row-sharded image, mesh axis ``space``):
 
 Semantics are validated against the ppermute implementation on a virtual
 multi-device CPU mesh in TPU **interpret mode** (``tests/test_pallas_halo.py``)
-— remote DMAs are simulated. Measuring an ICI win needs real multi-chip
-hardware, which this container does not have (one TPU chip); the kernel is
-therefore NOT yet wired into the production tiled cascade.
+— remote DMAs are simulated, on space-only AND combined (data, space) meshes
+(neighbour addressing is by mesh coordinate). The kernel is wired into the
+production multi-chip cascade behind ``build_tiled_slab_cascade(...,
+halo="pallas")`` / ``WCTEngine(halo="pallas")``; ``ppermute`` stays the
+default because measuring an ICI win needs real multi-chip hardware, which
+this container does not have (one TPU chip).
 
 Reference point: the reference has no multi-device story at all
 (/root/reference/PytorchWCT/WCT.py:97 — single `.cuda()` placement).
@@ -54,19 +57,26 @@ def _halo_kernel(x_ref, zeros_ref, out_ref,
     center = pltpu.make_async_copy(x_ref, out_ref.at[:, pl.ds(hm, h)], loc_sem)
     center.start()
 
+    # neighbour addressing is by MESH COORDINATE dict: only the ``space``
+    # coordinate is given, every other mesh axis (e.g. ``data`` on a combined
+    # serving mesh) defaults to the sender's own index — so the exchange
+    # stays within the correct data shard on any (data, space) mesh.
+    left_id = {axis_name: jnp.maximum(idx - 1, 0)}
+    right_id = {axis_name: jnp.minimum(idx + 1, n - 1)}
+
     # neighbour barrier: nobody writes into a halo region before its owner
     # has entered the kernel (the remote write lands in out_ref)
     barrier = pltpu.get_barrier_semaphore()
 
     @pl.when(has_left)
     def _sig_l():
-        pltpu.semaphore_signal(barrier, 1, device_id=idx - 1,
-                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, 1, device_id=left_id,
+                               device_id_type=pltpu.DeviceIdType.MESH)
 
     @pl.when(has_right)
     def _sig_r():
-        pltpu.semaphore_signal(barrier, 1, device_id=idx + 1,
-                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, 1, device_id=right_id,
+                               device_id_type=pltpu.DeviceIdType.MESH)
 
     pltpu.semaphore_wait(barrier, has_left.astype(jnp.int32)
                          + has_right.astype(jnp.int32))
@@ -77,15 +87,15 @@ def _halo_kernel(x_ref, zeros_ref, out_ref,
         src_ref=x_ref.at[:, pl.ds(h - hm, hm)],
         dst_ref=out_ref.at[:, pl.ds(0, hm)],
         send_sem=send_r, recv_sem=recv_r,
-        device_id=jnp.minimum(idx + 1, n - 1),
-        device_id_type=pltpu.DeviceIdType.LOGICAL)
+        device_id=right_id,
+        device_id_type=pltpu.DeviceIdType.MESH)
     # my top rows -> left neighbour's BOTTOM halo ([(i+1, i)] on img[:, :hm])
     rdma_left = pltpu.make_async_remote_copy(
         src_ref=x_ref.at[:, pl.ds(0, hm)],
         dst_ref=out_ref.at[:, pl.ds(hm + h, hm)],
         send_sem=send_l, recv_sem=recv_l,
-        device_id=jnp.maximum(idx - 1, 0),
-        device_id_type=pltpu.DeviceIdType.LOGICAL)
+        device_id=left_id,
+        device_id_type=pltpu.DeviceIdType.MESH)
 
     @pl.when(has_right)
     def _send_right():
@@ -134,28 +144,31 @@ def _halo_kernel(x_ref, zeros_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("hm", "axis_name", "interpret",
-                                             "detect_races"))
+                                             "detect_races", "extra_vma"))
 def halo_exchange_rows_pallas(img: jax.Array, hm: int, axis_name: str,
                               *, interpret: bool = False,
-                              detect_races: bool = False) -> jax.Array:
+                              detect_races: bool = False,
+                              extra_vma: tuple = ()) -> jax.Array:
     """(N, H_loc, W, C) row shard -> (N, H_loc + 2*hm, W, C) with ``hm``
     rows from each mesh neighbour (zero fill at global edges). Must be
-    called inside ``shard_map`` over ``axis_name``, which must be the
-    mesh's ONLY axis at this prototype stage (neighbours are addressed by
-    LOGICAL device id — the production ("data", "space") meshes need the
-    mesh-coordinate addressing that interpret mode cannot simulate yet).
-    Drop-in for ``parallel.spatial._exchange_row_halos``."""
+    called inside ``shard_map`` over ``axis_name``. Neighbours are addressed
+    by MESH COORDINATE (``{axis_name: idx±1}``, other mesh axes defaulting
+    to the sender's own index), so the exchange is correct on combined
+    meshes — e.g. the (data, space) serving mesh — not just a space-only
+    one. ``extra_vma``: further mesh axes the data varies over (e.g.
+    ``("data",)``), so shard_map's varying-axes check passes without being
+    disabled. Drop-in for ``parallel.spatial._exchange_row_halos``."""
     n, h, w, c = img.shape
     assert h >= hm > 0, (h, hm)
     zeros = jnp.zeros((n, hm, w, c), img.dtype)
     kernel = functools.partial(_halo_kernel, hm=hm, axis_name=axis_name)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, h + 2 * hm, w, c), img.dtype,
-                                       vma=frozenset({axis_name})),
+                                       vma=frozenset({axis_name, *extra_vma})),
         scratch_shapes=[pltpu.SemaphoreType.DMA] * 5,
         compiler_params=pltpu.CompilerParams(collective_id=7),
         # interpret=True selects the TPU *simulator* (DMAs, semaphores and
@@ -164,3 +177,4 @@ def halo_exchange_rows_pallas(img: jax.Array, hm: int, axis_name: str,
         interpret=(pltpu.InterpretParams(detect_races=detect_races)
                    if interpret else False),
     )(img, zeros)
+    return out

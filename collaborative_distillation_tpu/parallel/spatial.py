@@ -353,7 +353,8 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
                              slab_rows: int = 1024, method: str = "eigh",
                              newton_iters: int = 24, eps: float = 1e-8,
                              packed: bool = False, data_axis: str | None = None,
-                             external_style_stats: bool = False):
+                             external_style_stats: bool = False,
+                             halo: str = "ppermute"):
     """One compiled program: row shards over ``space``, slab streaming inside
     each shard, WCT statistics psum'd across the mesh.
 
@@ -379,6 +380,12 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
     ``data_axis``: optionally also shard the batch over a second mesh axis
     (combined DP x spatial serving mesh); statistics still psum only over
     ``space``, so every data shard stylizes its own images independently.
+
+    ``halo``: ``"ppermute"`` (default — XLA collective) or ``"pallas"`` (the
+    RDMA kernel in ``ops/pallas/halo.py``: two ``make_async_remote_copy``\\ s
+    per shard riding ICI neighbour links, mesh-coordinate addressed so it
+    composes with ``data_axis``; auto-falls back to the TPU interpret
+    simulator off-TPU, so CPU-mesh tests/dryruns execute the same protocol).
 
     Returns ``(fn, params)``; ``fn(params, img, style, alpha)`` wants global
     H divisible by ``slab_rows * n_space`` (slab_rows is rounded up to the
@@ -417,6 +424,20 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
 
     def _encode(pk, sl, spec):
         return _encode_any(pk, sl, spec, packed)
+
+    if halo == "pallas":
+        from ..ops.pallas.halo import halo_exchange_rows_pallas
+
+        def _exchange(img, hm):
+            return halo_exchange_rows_pallas(
+                img, hm, "space",
+                interpret=jax.default_backend() != "tpu",
+                extra_vma=(data_axis,) if data_axis else ())
+    elif halo == "ppermute":
+        def _exchange(img, hm):
+            return _exchange_row_halos(img, hm, "space")
+    else:
+        raise ValueError(f"halo must be 'ppermute' or 'pallas', got {halo!r}")
 
     def per_shard(p, img, style, alpha):
         h_loc = img.shape[1]
@@ -467,7 +488,7 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
                 s_mean, s_cov = _style_stats_whole(p[k]["enc"], style, spec_e,
                                                    c, packed)
 
-            ext = _exchange_row_halos(img, hm, "space")
+            ext = _exchange(img, hm)
             rows = slab + hm
             coords = partial(slab_coords, m=mk, hm=hm)
 
@@ -518,10 +539,15 @@ def build_tiled_slab_cascade(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),
             "(per-data-shard styles would need per-shard statistics)")
     img_spec = P(data_axis, "space", None, None)
     style_spec = P() if external_style_stats else P(data_axis)
+    # the interpret-simulated pallas halo (off-TPU only) discharges the
+    # kernel into plain jax ops whose varying-axes annotations don't satisfy
+    # the strict checker; mosaic-lowered TPU builds keep the lint on
+    check_vma = not (halo == "pallas" and jax.default_backend() != "tpu")
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(), img_spec, style_spec, P()),
         out_specs=img_spec,
+        check_vma=check_vma,
     )
     jit_fn = jax.jit(sharded)
 

@@ -162,7 +162,7 @@ class WCTEngine:
                  dtype=jnp.float32, stages=(5, 4, 3, 2, 1), space: int = 0,
                  slab_rows: int = 0, packed: bool | None = None, fused: bool = True,
                  pyramid=None, transport: str = "auto",
-                 stream_min_pix: int | None = None):
+                 stream_min_pix: int | None = None, halo: str = "ppermute"):
         if transport not in ("auto", "rgb", "yuv420"):
             raise ValueError(
                 f"transport must be 'auto', 'rgb' or 'yuv420', got {transport!r}")
@@ -243,7 +243,7 @@ class WCTEngine:
                     self.pyramid, self.mesh, stages=self.stages,
                     slab_rows=slab_rows, method=method,
                     newton_iters=newton_iters, packed=packed,
-                    external_style_stats=True)
+                    external_style_stats=True, halo=halo)
                 # effective slab size (the builder rounds up to pyramid
                 # granularity AND to 2*margin)
                 self._tiled_slab = self._tiled_fn.slab_rows

@@ -115,3 +115,29 @@ def test_pallas_halo_race_free(rng):
     ref = shard_map(lambda x: _exchange_row_halos(x, 2, "space"), mesh=mesh,
                     in_specs=spec, out_specs=spec)(img)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_halo_combined_mesh_matches_ppermute(rng):
+    """Mesh-coordinate addressing on a (data=2, space) mesh: each data
+    shard's exchange stays within its own row of the mesh — exactly what
+    the ppermute (which only ever sees the 'space' axis) produces."""
+    from collaborative_distillation_tpu.ops.pallas.halo import (
+        halo_exchange_rows_pallas,
+    )
+
+    n = len(jax.devices())
+    if n < 4 or n % 2:
+        pytest.skip("needs an even device count >= 4")
+    n_sp = n // 2
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(2, n_sp),
+                ("data", "space"))
+    img = jnp.asarray(rng.random((2, 8 * n_sp, 16, 8), np.float32))
+    spec = P("data", "space", None, None)
+    hm = 2
+    ref = shard_map(lambda x: _exchange_row_halos(x, hm, "space"), mesh=mesh,
+                    in_specs=spec, out_specs=spec)(img)
+    out = shard_map(
+        lambda x: halo_exchange_rows_pallas(x, hm, "space", interpret=True,
+                                            extra_vma=("data",)),
+        mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False)(img)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

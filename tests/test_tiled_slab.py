@@ -182,3 +182,39 @@ def test_engine_space_slab_rejects_batched_styles(pyramid, imgs):
                     slab_rows=48, packed=False)
     with pytest.raises(ValueError, match="per-image"):
         eng.stylize(cb, sb, alpha=0.9)
+
+
+def test_pallas_halo_cascade_matches_ppermute(pyramid, imgs):
+    """build_tiled_slab_cascade(halo='pallas') — the RDMA kernel in the real
+    production program (interpret-simulated off-TPU) — must be bit-identical
+    to the ppermute build: the exchanged bytes are the same, everything
+    downstream is the same code."""
+    c, s = imgs
+    slab, _ = _slab_for(pyramid, 48)
+    mesh = make_mesh(space=4)
+    ref_fn, ref_params = build_tiled_slab_cascade(pyramid, mesh, stages=STAGES,
+                                                  slab_rows=slab)
+    ref = np.asarray(ref_fn(ref_params, c, s, 0.8))
+    pfn, pparams = build_tiled_slab_cascade(pyramid, mesh, stages=STAGES,
+                                            slab_rows=slab, halo="pallas")
+    out = np.asarray(pfn(pparams, c, s, 0.8))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_halo_cascade_combined_mesh(pyramid, imgs, rng):
+    """halo='pallas' on the (data=2, space=4) mesh: mesh-coordinate
+    addressing keeps each exchange inside its own data shard."""
+    c, s = imgs
+    slab, _ = _slab_for(pyramid, 48)
+    c2 = jnp.concatenate([c, jnp.asarray(rng.random(c.shape, np.float32))], axis=0)
+    s2 = jnp.concatenate([s, jnp.asarray(rng.random(s.shape, np.float32))], axis=0)
+    mesh = make_mesh(data=2, space=4)
+    ref_fn, ref_params = build_tiled_slab_cascade(pyramid, mesh, stages=STAGES,
+                                                  slab_rows=slab,
+                                                  data_axis="data")
+    ref = np.asarray(ref_fn(ref_params, c2, s2, 1.0))
+    pfn, pparams = build_tiled_slab_cascade(pyramid, mesh, stages=STAGES,
+                                            slab_rows=slab, data_axis="data",
+                                            halo="pallas")
+    out = np.asarray(pfn(pparams, c2, s2, 1.0))
+    np.testing.assert_array_equal(out, ref)
