@@ -103,6 +103,7 @@ def apply_decoder(
     spec: StageSpec,
     *,
     aux_relu: bool = False,
+    final_relu: bool = True,
 ) -> dict[str, jax.Array]:
     """Run decoder stage; returns named features.
 
@@ -110,12 +111,20 @@ def apply_decoder(
     taps (the *unpooled* conv{j}1 features, matching forward_branch variable
     reassignment in model_original.py:601-619), and kd2sd ``dec_aux{j}1``
     adapter outputs when present (model_kd2sd.py:72-102).
+
+    ``final_relu=False`` is the reference's ``Decoder4.forward_norule``
+    variant (model_original.py:391-404: identical decode but no ReLU on the
+    last conv, so negative pixel values survive — the same semantics the
+    pwct path uses, :func:`apply_decoder_pwct`). Uncalled in the reference
+    but part of its API surface; offered for parity.
     """
     assert spec.kind == "decoder"
     outs: dict[str, jax.Array] = {}
+    last = spec.layers[-1]
     for layer in spec.layers:
         p = params[layer.name]
-        x = conv3x3(x, p["w"], p["b"], relu=layer.relu)
+        relu = layer.relu and (final_relu or layer is not last)
+        x = conv3x3(x, p["w"], p["b"], relu=relu)
         if layer.unpool_after:
             x = upsample_nearest_2x(x)
         if layer.tap:

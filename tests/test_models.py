@@ -86,3 +86,34 @@ def test_pwct_decode_shapes(rng):
     assert "pool1_idx" in feats and "pool2_idx" in feats
     rec = apply_decoder_pwct(dparams, feats["out"], dspec, feats)
     assert rec.shape == x.shape
+
+
+def test_decoder_final_relu_off_is_norule(rng):
+    """final_relu=False == the reference's Decoder4.forward_norule
+    (model_original.py:391-404): identical decode, no ReLU on the last conv,
+    so out_relu = relu(out_norule) and every intermediate tap is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from collaborative_distillation_tpu.models.specs import decoder_spec
+    from collaborative_distillation_tpu.models.vgg import apply_decoder, init_params
+
+    spec = decoder_spec("original", 2)
+    params = init_params(spec, jax.random.key(3))
+    feat = jnp.asarray(rng.standard_normal((1, 8, 8, 128)).astype(np.float32))
+    with_relu = apply_decoder(params, feat, spec)
+    norule = apply_decoder(params, feat, spec, final_relu=False)
+    np.testing.assert_array_equal(
+        np.asarray(with_relu["out"]),
+        np.maximum(np.asarray(norule["out"]), 0.0))
+    assert float(jnp.min(norule["out"])) < 0.0  # negatives actually survive
+    for k in with_relu:
+        # dec11 IS the final conv's output (the 3-channel image tap), so it
+        # changes with the final relu exactly like "out" does
+        if k in ("out", "dec11"):
+            np.testing.assert_array_equal(
+                np.asarray(with_relu[k]),
+                np.maximum(np.asarray(norule[k]), 0.0))
+        else:
+            np.testing.assert_array_equal(np.asarray(with_relu[k]),
+                                          np.asarray(norule[k]))
