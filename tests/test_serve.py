@@ -224,3 +224,48 @@ def test_warm_shapes_precompiles_at_startup():
             break
         time.sleep(0.1)
     assert any("shape 32x48 warm" in m for m in logs), logs
+
+
+def test_auto_transport_gate_small_jpeg_skips_planes_path(rng):
+    """Under transport='auto', a sub-cutoff JPEG must take the plain
+    PIL+stylize path (no per-shape YUV converter compiles), while images at
+    or above _YUV_AUTO_PIX keep the JPEG-native planes fast path."""
+    import threading as _threading
+    from http.server import ThreadingHTTPServer
+
+    from collaborative_distillation_tpu.data import native_codec
+    from collaborative_distillation_tpu.wct import engine as engine_mod
+
+    eng = _toy_engine()
+    assert eng.transport == "auto"
+    calls = []
+    orig = native_codec.decode_jpeg_yuv420
+
+    def spy(data):
+        calls.append(len(data))
+        return orig(data)
+
+    handler = build_app(eng, lambda m: None)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        native_codec.decode_jpeg_yuv420 = spy
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        _post(url + "/style/g", _jpeg_bytes(img))
+        code, _, ctype = _post(url + "/stylize?style=g", _jpeg_bytes(img))
+        assert code == 200 and ctype == "image/jpeg"
+        assert calls == []  # 4096 px < 2 MPix: planes path skipped
+        # drop the cutoff below the image size: planes path used again
+        old_pix = engine_mod._YUV_AUTO_PIX
+        engine_mod._YUV_AUTO_PIX = 1024
+        try:
+            code, _, _ = _post(url + "/stylize?style=g", _jpeg_bytes(img))
+            assert code == 200
+            assert len(calls) >= 1
+        finally:
+            engine_mod._YUV_AUTO_PIX = old_pix
+    finally:
+        native_codec.decode_jpeg_yuv420 = orig
+        srv.shutdown()
