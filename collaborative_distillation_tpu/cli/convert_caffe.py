@@ -34,8 +34,10 @@ import numpy as np
 
 
 def caffe_to_store_name(name: str) -> str | None:
-    """'conv1_1' (optionally prefixed/suffixed) -> 'conv11'; None if not a
-    VGG conv layer name."""
+    """'conv1_1' (optionally scope-prefixed, e.g. 'vgg/conv1_1') -> 'conv11';
+    None if the name is not a VGG conv layer. Suffixed names ('conv1_1_bn')
+    deliberately do NOT match — a renamed layer is not provably the plain
+    conv."""
     m = re.fullmatch(r".*?conv(\d)_(\d)", name)
     return f"conv{m.group(1)}{m.group(2)}" if m else None
 
@@ -44,10 +46,16 @@ def stage_tree(layers: dict[str, list[np.ndarray]], spec):
     """Pick this stage's convs out of the caffemodel layer dict, transposed
     to the store layout and shape-checked against the spec."""
     by_store = {}
+    src_of = {}
     for lname, blobs in layers.items():
         sname = caffe_to_store_name(lname)
         if sname is not None:
+            if sname in by_store:
+                raise ValueError(
+                    f"layers {src_of[sname]!r} and {lname!r} both map to "
+                    f"{sname!r}; rename or strip the ambiguous layer")
             by_store[sname] = blobs
+            src_of[sname] = lname
     tree = {}
     for lname, (wshape, bshape) in spec.param_shapes().items():
         if lname == "conv0":

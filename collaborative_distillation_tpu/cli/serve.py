@@ -284,8 +284,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     warm_shapes = []
     for tok in filter(None, (t.strip() for t in args.warm_shapes.split(","))):
-        h, w = tok.lower().split("x")
-        warm_shapes.append((int(h), int(w)))
+        try:
+            h, w = tok.lower().split("x")
+            warm_shapes.append((int(h), int(w)))
+        except ValueError:
+            ap.error(f"--warm_shapes: {tok!r} is not of the form HxW "
+                     f"(e.g. 1080x1920)")
 
     from ..utils.logging import LogPrinter
     from ..wct.engine import WCTEngine

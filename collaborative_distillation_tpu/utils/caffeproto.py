@@ -15,9 +15,12 @@ Supported message subset (caffe.proto):
                    layer=100 (repeated LayerParameter, modern)
   LayerParameter:  name=1 (string), type=2 (string), blobs=7
   V1LayerParameter: name=4 (string), type=5 (enum), blobs=6
-  BlobProto:       data=5 (packed/unpacked float), double_data=9,
+  BlobProto:       data=5 (packed/unpacked float), double_data=8,
                    shape=7 (BlobShape: dim=1 repeated int64),
-                   num=1 channels=2 height=3 width=4 (legacy 4-D dims)
+                   num=1 channels=2 height=3 width=4 (legacy 4-D dims);
+                   diff=6 / double_diff=9 (gradients) are deliberately
+                   IGNORED — a training snapshot must never have its
+                   gradient arrays mistaken for weights
 
 Everything else is skipped field-by-field (the wire format is
 self-describing), so training-state junk in a snapshot does not break the
@@ -97,9 +100,12 @@ def _parse_blob(buf, start: int, end: int) -> np.ndarray:
         if field == 5:  # data: packed (LEN) or unpacked (one 32BIT per elem)
             if wtype == _WIRE_LEN:
                 data_spans.append(val)
-            else:
+            elif wtype == _WIRE_32BIT:
                 scalars.append(np.frombuffer(buf[val[0]:val[1]], "<f4")[0])
-        elif field == 9 and wtype == _WIRE_LEN:  # double_data, packed
+            else:
+                raise ValueError(
+                    f"blob data field has unsupported wire type {wtype}")
+        elif field == 8 and wtype == _WIRE_LEN:  # double_data, packed
             double_spans.append(val)
         elif field == 7 and wtype == _WIRE_LEN:  # BlobShape
             for f2, w2, v2 in iter_fields(buf, val[0], val[1]):
@@ -124,8 +130,8 @@ def _parse_blob(buf, start: int, end: int) -> np.ndarray:
         arr = np.asarray(scalars, np.float32)
     if not shape and legacy:
         shape = [legacy.get(i, 1) for i in (1, 2, 3, 4)]  # num,ch,h,w
-        while len(shape) > 1 and shape[0] == 1:  # biases: (1,1,1,C) -> (C,)
-            shape = shape[1:]
+        if shape[:3] == [1, 1, 1]:  # biases: (1,1,1,C) -> (C,); a genuine
+            shape = shape[3:]       # num=1 conv (1,C,kh,kw) stays 4-D
     if shape:
         if int(np.prod(shape)) != arr.size:
             raise ValueError(

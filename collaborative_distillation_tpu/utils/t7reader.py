@@ -72,9 +72,11 @@ _TENSOR_CLASSES = {
 
 # fuzz-hardening caps: a hostile few-KB file can claim arbitrary dimension
 # counts / sizes; everything must fail with EOFError/ValueError, never an
-# out-of-bounds read (as_strided is unchecked!), OOM, or hang.
+# out-of-bounds read (as_strided is unchecked!), OOM, or hang. The BYTE cap
+# matters for stride-0 views, which stay inside a tiny storage while
+# claiming astronomically many elements — .copy() would materialize them.
 _MAX_NDIM = 32
-_MAX_ELEMS = 1 << 31
+_MAX_TENSOR_BYTES = 1 << 30  # 1 GiB; the real teachers' largest tensor is ~19 MB
 
 
 @dataclass
@@ -208,8 +210,10 @@ class _Reader:
         n_elems = 1
         for s in sizes:
             n_elems *= s
-            if n_elems > _MAX_ELEMS:
-                raise ValueError(f"implausible tensor element count {n_elems}")
+            if n_elems * storage.dtype.itemsize > _MAX_TENSOR_BYTES:
+                raise ValueError(
+                    f"implausible tensor: {n_elems} elements of "
+                    f"{storage.dtype} exceed the {_MAX_TENSOR_BYTES}-byte cap")
         lo = offset + sum((sz - 1) * st for sz, st in zip(sizes, strides) if st < 0)
         hi = offset + sum((sz - 1) * st for sz, st in zip(sizes, strides) if st > 0)
         if lo < 0 or hi >= storage.size:

@@ -166,6 +166,16 @@ class WCTEngine:
         if transport not in ("auto", "rgb", "yuv420"):
             raise ValueError(
                 f"transport must be 'auto', 'rgb' or 'yuv420', got {transport!r}")
+        if halo not in ("ppermute", "pallas"):
+            raise ValueError(
+                f"halo must be 'ppermute' or 'pallas', got {halo!r}")
+        if halo == "pallas" and not (space and space > 1 and slab_rows):
+            import warnings
+            warnings.warn(
+                "halo='pallas' only affects the multi-chip slab cascade "
+                "(space > 1 AND slab_rows); this engine configuration uses "
+                "no halo exchange — the flag is ignored", RuntimeWarning,
+                stacklevel=2)
         # persistent XLA compilation cache: every process after the first
         # replays the cascade compiles from disk instead of repaying the
         # 40-140 s remote-compile cost (see utils/jaxconfig.py)

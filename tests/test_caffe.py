@@ -152,3 +152,51 @@ def test_caffemodel_hostile_inputs(tmp_path, rng):
     (tmp_path / "b.caffemodel").write_bytes(bytes(bad))
     with pytest.raises((ValueError, EOFError)):
         read_caffemodel(str(tmp_path / "b.caffemodel"))
+
+
+def test_double_data_field8_and_num1_conv(tmp_path, rng):
+    """double-precision caffemodels store weights in field 8 (double_data);
+    and a genuine num=1 conv (1, C, kh, kw) must stay 4-D (only 1x1x1xC
+    bias-shaped blobs collapse)."""
+    w = rng.standard_normal((1, 3, 3, 3))  # num=1 conv weight
+    b = rng.standard_normal(1)
+    out = bytearray(_len_field(1, b"NET"))
+    blob_w = bytearray()
+    for f, d in zip((1, 2, 3, 4), w.shape):
+        blob_w += _key(f, 0) + _varint(d)
+    blob_w += _len_field(8, w.ravel().astype("<f8").tobytes())  # double_data
+    blob_b = bytearray()
+    for f, d in zip((1, 2, 3, 4), (1, 1, 1, 1)):
+        blob_b += _key(f, 0) + _varint(d)
+    blob_b += _len_field(8, b.astype("<f8").tobytes())
+    out += _len_field(2, _layer("conv9_9", [bytes(blob_w), bytes(blob_b)],
+                                legacy=True))
+    p = tmp_path / "d.caffemodel"
+    p.write_bytes(bytes(out))
+    got = read_caffemodel(str(p))
+    assert got["conv9_9"][0].shape == (1, 3, 3, 3)  # 4-D preserved
+    assert got["conv9_9"][1].shape == (1,)
+    np.testing.assert_allclose(got["conv9_9"][0], w.astype(np.float32),
+                               rtol=1e-6)
+
+
+def test_blob_data_bad_wire_type_is_clean_error(tmp_path, rng):
+    """A blob 'data' field with varint wire type must raise ValueError, not
+    TypeError (hostile-input contract)."""
+    blob = _key(5, 0) + _varint(7)  # field 5, wire type 0 (varint)
+    out = _len_field(1, b"NET") + _len_field(
+        2, _layer("conv1_1", [blob], legacy=True))
+    p = tmp_path / "w.caffemodel"
+    p.write_bytes(out)
+    with pytest.raises(ValueError, match="wire type"):
+        read_caffemodel(str(p))
+
+
+def test_duplicate_store_mapping_raises(tmp_path, rng):
+    from collaborative_distillation_tpu.cli.convert_caffe import stage_tree
+    from collaborative_distillation_tpu.models.specs import encoder_spec
+
+    layers = _vgg_layers(rng, stages=("1_1",))
+    layers["deconv1_1"] = layers["conv1_1"]  # also maps to conv11
+    with pytest.raises(ValueError, match="both map to"):
+        stage_tree(layers, encoder_spec("original", 1))

@@ -232,3 +232,27 @@ def test_recursive_table_parses(tmp_path):
     p.write_bytes(bytes(buf))
     out = load_t7(str(p))
     assert out["self"] is out
+
+
+def test_fuzz_stride0_memory_bomb(tmp_path):
+    """sizes=[2^27], strides=[0] over a 1-element storage stays inside
+    bounds but would materialize 1 GiB in .copy() — the byte cap must
+    reject it."""
+    import struct as st
+
+    wr = _Writer()
+    wr.buf += st.pack("<i", 4) + st.pack("<i", 1)
+    wr.string("V 1")
+    wr.string("torch.DoubleTensor")
+    wr.buf += st.pack("<i", 1)          # ndim 1
+    wr.buf += st.pack("<q", 1 << 28)    # 268M elements -> 2 GiB claimed
+    wr.buf += st.pack("<q", 0)          # stride 0: bounds-legal
+    wr.buf += st.pack("<q", 1)          # offset
+    wr.buf += st.pack("<i", 4) + st.pack("<i", 2)
+    wr.string("V 1")
+    wr.string("torch.DoubleStorage")
+    wr.buf += st.pack("<q", 1) + b"\x00" * 8
+    p = tmp_path / "bomb.t7"
+    p.write_bytes(bytes(wr.buf))
+    with pytest.raises(ValueError, match="byte cap"):
+        load_t7(str(p))
