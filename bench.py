@@ -146,7 +146,150 @@ def main():
     from collaborative_distillation_tpu.wct.engine import WCTEngine
 
     results = _RESULTS
+    mpix = UHD_W * UHD_H / 1e6
     eng = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True)
+
+    # ============ PHASE 1: on-device metrics (relay-light) ============
+    # Device-SYNTHESIZED pixels: the cascade's cost is shape-dependent, not
+    # pixel-dependent (same convs, same C x C eigh), so uniform noise times
+    # identically to a photograph. Only the ~2 MB of 16x weights + scalar
+    # readbacks cross the link in this phase — the headline number survives
+    # relay congestion collapses (observed: 0.02 MB/s windows lasting hours
+    # that would otherwise zero the whole bench).
+    kc, ks2 = jax.random.split(jax.random.key(0))
+    cd = jax.random.uniform(kc, (1, UHD_H, UHD_W, 3), jnp.float32)
+    sdev = jax.random.uniform(ks2, (1, 2048, 2048, 3), jnp.float32)
+
+    def force(x):
+        # this backend's block_until_ready does not actually block; force
+        # completion with a strided readback instead. The sampling overhead
+        # (a 43x106 gather + one scalar d2h + sum dispatch) is INCLUDED in
+        # the measured on-device time — ~5-10 ms of the ~2 s, i.e. the
+        # reported MPix/s is conservative by <0.5%.
+        return float(jnp.sum(x[0, ::97, ::97, 0]))
+
+    fn, fparams = eng._fused_slab
+    # style statistics are engine-cached per style_key (the reference
+    # re-encodes the style at every stage of every run; we compute them once)
+    sd = eng._fused_style_stats(sdev, style_key="bench-dev")
+    t0 = time.time()
+    force(fn(fparams, cd, sd, 1.0))
+    log(f"device-cascade warm-up (compile): {time.time() - t0:.1f}s")
+    best_dev = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        force(fn(fparams, cd, sd, 1.0))
+        best_dev = min(best_dev, time.time() - t0)
+    results["uhd_device_s"] = round(best_dev, 2)
+    headline = round(mpix / best_dev, 2)
+    results["uhd_device_mpix_s"] = headline
+    log(f"UHD on-device cascade: {best_dev:.2f}s = {headline:.2f} MPix/s")
+
+    # bf16 on-device cascade: the cascade is HBM-bandwidth-bound (docs/DESIGN
+    # §3), so halving activation/weight bytes should land near 2x. WCT
+    # statistics/eigh stay f32 internally (ops/wct_transform.py upcasts), so
+    # the quality delta is conv-accumulation only — measured as PSNR vs the
+    # f32 output, computed on-device (one scalar crosses the relay).
+    try:
+        out32 = fn(fparams, cd, sd, 1.0)
+        eng16 = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True,
+                          dtype=jnp.bfloat16)
+        cd16 = cd.astype(jnp.bfloat16)
+        sd16 = eng16._fused_style_stats(sdev.astype(jnp.bfloat16),
+                                        style_key="bench-dev16")
+        fn16, fparams16 = eng16._fused_slab
+        t0 = time.time()
+        out16 = fn16(fparams16, cd16, sd16, 1.0)
+        force(out16)
+        log(f"bf16 warm-up (compile): {time.time() - t0:.1f}s")
+        best16 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force(fn16(fparams16, cd16, sd16, 1.0))
+            best16 = min(best16, time.time() - t0)
+        results["uhd_device_s_bf16"] = round(best16, 2)
+        results["uhd_device_mpix_s_bf16"] = round(mpix / best16, 2)
+        psnr = jax.jit(lambda a, b: -10.0 * jnp.log10(jnp.maximum(
+            jnp.mean(jnp.square(jnp.clip(a.astype(jnp.float32), 0, 1)
+                                - jnp.clip(b.astype(jnp.float32), 0, 1))),
+            1e-12)))
+        results["uhd_bf16_psnr_db"] = round(float(psnr(out32, out16)), 1)
+        log(f"UHD on-device cascade bf16: {best16:.2f}s = "
+            f"{results['uhd_device_mpix_s_bf16']} MPix/s, "
+            f"PSNR vs f32 {results['uhd_bf16_psnr_db']} dB")
+        del out32, out16, cd16
+    except Exception as e:  # noqa: BLE001 — optional metric
+        log(f"bf16 bench skipped: {e}")
+
+    # teacher (original) mode on-device: the reference's original models
+    # cannot fit UHD on a 12 GB GPU at all (README.md:2) — running them at
+    # UHD on one chip is a headline of its own. Packed kernels are auto-off
+    # here (wide-W compiler crash; see engine packed=None logic + test).
+    try:
+        opyr = None
+        if not os.path.isdir(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "weights", "original")):
+            # teacher checkpoints are external downloads (reference README:26);
+            # random-init the same specs — identical compute graph, identical
+            # performance, only the pixels differ
+            from collaborative_distillation_tpu.models.specs import (
+                decoder_spec, encoder_spec)
+            from collaborative_distillation_tpu.models.vgg import init_params
+            key = jax.random.key(0)
+            opyr = {}
+            for s in (5, 4, 3, 2, 1):
+                key, k1, k2 = jax.random.split(key, 3)
+                es, ds = encoder_spec("original", s), decoder_spec("original", s)
+                opyr[s] = {"enc_spec": es, "dec_spec": ds,
+                           "enc": init_params(es, k1), "dec": init_params(ds, k2)}
+        engo = WCTEngine(mode="original", slab_rows=1024, fused=True, pyramid=opyr)
+        sdo = engo._fused_style_stats(sdev, style_key="bench-devo")
+        fno, fparamso = engo._fused_slab
+        t0 = time.time()
+        force(fno(fparamso, cd, sdo, 1.0))
+        log(f"original-mode warm-up (compile): {time.time() - t0:.1f}s")
+        besto = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(fno(fparamso, cd, sdo, 1.0))
+            besto = min(besto, time.time() - t0)
+        results["uhd_original_device_s"] = round(besto, 2)
+        results["uhd_original_device_mpix_s"] = round(mpix / besto, 2)
+        log(f"UHD original-mode on-device: {besto:.2f}s = "
+            f"{results['uhd_original_device_mpix_s']} MPix/s")
+        del engo, sdo
+    except Exception as e:  # noqa: BLE001 — optional metric
+        log(f"original-mode bench skipped: {e}")
+
+    # 2K device-only: separates compute from transport so a congested relay
+    # can't masquerade as a pipeline regression (r02 had no such number).
+    # Goes through _run_device — the engine's real dispatch (slab re-pick for
+    # the 1024-row height, style-stat cache) — with device-resident inputs,
+    # stream_ok=False so the monolithic program's full compute is timed.
+    cd2 = jax.random.uniform(kc, (1, 1024, 2048, 3), jnp.float32)
+    sdev2 = jax.random.uniform(ks2, (1, 1024, 1024, 3), jnp.float32)
+    run2k = lambda: eng._run_device(
+        cd2, sdev2, 1.0, num_run=1, style_key="bench2k-dev", as_uint8=False,
+        pwct=False, orig_hw=(1024, 2048), stream_ok=False)
+    t0 = time.time()
+    float(jnp.sum(run2k()[0, ::97, ::97, 0]))  # warm (compile)
+    log(f"2K device warm-up: {time.time() - t0:.1f}s")
+    best2d = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(run2k()[0, ::97, ::97, 0]))
+        best2d = min(best2d, time.time() - t0)
+    results["2k_device_s"] = round(best2d, 3)
+    log(f"2K on-device: {best2d:.3f}s")
+
+    try:
+        lat = wct_latency()
+        results["wct_latency_ms"] = {k: round(v, 2) for k, v in lat.items()}
+        log(f"WCT transform latency: {results['wct_latency_ms']}")
+    except Exception as e:
+        log(f"wct latency bench failed: {e}")
+
+    # ============ PHASE 2: end-to-end over the relay ============
     cu, su = load_pair(UHD_W, UHD_H)
 
     # record the relay's condition next to the e2e numbers: the dev tunnel
@@ -179,7 +322,6 @@ def main():
     # min over 5 runs: the relay's d2h bandwidth swings 0.5-50 MB/s with
     # load (measured same-day); min is the least-congested estimate of the
     # pipeline itself, and congestion spikes can last whole 3-run windows
-    mpix = UHD_W * UHD_H / 1e6
     best_e2e = float("inf")
     for _ in range(5):
         t0 = time.time()
@@ -233,29 +375,8 @@ def main():
         best2 = min(best2, time.time() - t0)
     results["2k_e2e_s"] = round(best2, 3)
     results["2k_e2e_mpix_s"] = round(2048 * 1024 / 1e6 / best2, 2)
-    log(f"2K end-to-end: {best2:.3f}s = {results['2k_e2e_mpix_s']} MPix/s")
-
-    # 2K device-only: separates compute from transport so a congested relay
-    # can't masquerade as a pipeline regression (r02 had no such number).
-    # Goes through _run_device — the engine's real dispatch (slab re-pick for
-    # the 1024-row height, style-stat cache) — with device-resident inputs,
-    # stream_ok=False so the monolithic program's full compute is timed.
-    cd2 = eng._u8_to_float(jnp.asarray(c2[None]))
-    sdev2 = eng._u8_to_float(jnp.asarray(s2[None]))
-    run2k = lambda: eng._run_device(
-        cd2, sdev2, 1.0, num_run=1, style_key="bench2k-dev", as_uint8=False,
-        pwct=False, orig_hw=(1024, 2048), stream_ok=False)
-    t0 = time.time()
-    float(jnp.sum(run2k()[0, ::97, ::97, 0]))  # warm (compile)
-    log(f"2K device warm-up: {time.time() - t0:.1f}s")
-    best2d = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(jnp.sum(run2k()[0, ::97, ::97, 0]))
-        best2d = min(best2d, time.time() - t0)
-    results["2k_device_s"] = round(best2d, 3)
-    log(f"2K on-device: {best2d:.3f}s "
-        f"(link share of e2e: {best2 - best2d:.3f}s)")
+    log(f"2K end-to-end: {best2:.3f}s = {results['2k_e2e_mpix_s']} MPix/s "
+        f"(link share vs device: {best2 - results['2k_device_s']:.3f}s)")
 
     # 4x4 content x style grid at 2K, pipelined (upload/compute/readback
     # overlapped across pairs, style stats cached per style)
@@ -286,121 +407,6 @@ def main():
             f"(link floor at probed bandwidth: {floor:.3f}s)")
     else:
         log(f"4x4 grid @2K pipelined: {grid_dt:.3f} s/pair")
-
-    # on-device cascade (the hardware-limited number)
-    cd = eng._u8_to_float(jnp.asarray(cu[None]))
-    sd = eng._u8_to_float(jnp.asarray(su[None]))
-    jax.block_until_ready((cd, sd))
-    fn, fparams = eng._fused_slab
-    # style statistics are engine-cached per style_key (the reference
-    # re-encodes the style at every stage of every run; we compute them once)
-    sd = eng._fused_style_stats(sd, style_key="bench-dev")
-    def force(x):
-        # this backend's block_until_ready does not actually block; force
-        # completion with a strided readback instead. The sampling overhead
-        # (a 43x106 gather + one scalar d2h + sum dispatch) is INCLUDED in
-        # the measured on-device time — ~5-10 ms of the ~2.1 s, i.e. the
-        # reported MPix/s is conservative by <0.5%.
-        return float(jnp.sum(x[0, ::97, ::97, 0]))
-    # warm: the e2e path streams the tail via the head program, so the full
-    # monolithic program is cold here and must compile outside the timing
-    t0 = time.time()
-    force(fn(fparams, cd, sd, 1.0))
-    log(f"device-cascade warm-up (compile): {time.time() - t0:.1f}s")
-    best_dev = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        force(fn(fparams, cd, sd, 1.0))
-        best_dev = min(best_dev, time.time() - t0)
-    results["uhd_device_s"] = round(best_dev, 2)
-    headline = round(mpix / best_dev, 2)
-    results["uhd_device_mpix_s"] = headline
-    log(f"UHD on-device cascade: {best_dev:.2f}s = {headline:.2f} MPix/s")
-
-    # bf16 on-device cascade: the cascade is HBM-bandwidth-bound (docs/DESIGN
-    # §3), so halving activation/weight bytes should land near 2x. WCT
-    # statistics/eigh stay f32 internally (ops/wct_transform.py upcasts), so
-    # the quality delta is conv-accumulation only — measured as PSNR vs the
-    # f32 output, computed on-device (one scalar crosses the relay).
-    try:
-        out32 = fn(fparams, cd, sd, 1.0)
-        eng16 = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True,
-                          dtype=jnp.bfloat16)
-        cd16 = cd.astype(jnp.bfloat16)
-        sd16 = eng16._fused_style_stats(
-            eng16._u8_to_float(jnp.asarray(su[None])).astype(jnp.bfloat16),
-            style_key="bench-dev16")
-        fn16, fparams16 = eng16._fused_slab
-        t0 = time.time()
-        out16 = fn16(fparams16, cd16, sd16, 1.0)
-        force(out16)
-        log(f"bf16 warm-up (compile): {time.time() - t0:.1f}s")
-        best16 = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            force(fn16(fparams16, cd16, sd16, 1.0))
-            best16 = min(best16, time.time() - t0)
-        results["uhd_device_s_bf16"] = round(best16, 2)
-        results["uhd_device_mpix_s_bf16"] = round(mpix / best16, 2)
-        psnr = jax.jit(lambda a, b: -10.0 * jnp.log10(jnp.maximum(
-            jnp.mean(jnp.square(jnp.clip(a.astype(jnp.float32), 0, 1)
-                                - jnp.clip(b.astype(jnp.float32), 0, 1))),
-            1e-12)))
-        results["uhd_bf16_psnr_db"] = round(float(psnr(out32, out16)), 1)
-        log(f"UHD on-device cascade bf16: {best16:.2f}s = "
-            f"{results['uhd_device_mpix_s_bf16']} MPix/s, "
-            f"PSNR vs f32 {results['uhd_bf16_psnr_db']} dB")
-        del out32, out16, cd16
-    except Exception as e:  # noqa: BLE001 — optional metric
-        log(f"bf16 bench skipped: {e}")
-
-    # teacher (original) mode on-device: the reference's original models
-    # cannot fit UHD on a 12 GB GPU at all (README.md:2) — running them at
-    # UHD on one chip is a headline of its own. Packed kernels are auto-off
-    # here (wide-W compiler crash; see engine packed=None logic + test).
-    try:
-        opyr = None
-        if not os.path.isdir(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "weights", "original")):
-            # teacher checkpoints are external downloads (reference README:26);
-            # random-init the same specs — identical compute graph, identical
-            # performance, only the pixels differ
-            from collaborative_distillation_tpu.models.specs import (
-                decoder_spec, encoder_spec)
-            from collaborative_distillation_tpu.models.vgg import init_params
-            key = jax.random.key(0)
-            opyr = {}
-            for s in (5, 4, 3, 2, 1):
-                key, k1, k2 = jax.random.split(key, 3)
-                es, ds = encoder_spec("original", s), decoder_spec("original", s)
-                opyr[s] = {"enc_spec": es, "dec_spec": ds,
-                           "enc": init_params(es, k1), "dec": init_params(ds, k2)}
-        engo = WCTEngine(mode="original", slab_rows=1024, fused=True, pyramid=opyr)
-        sdo = engo._fused_style_stats(
-            engo._u8_to_float(jnp.asarray(su[None])), style_key="bench-devo")
-        fno, fparamso = engo._fused_slab
-        t0 = time.time()
-        force(fno(fparamso, cd, sdo, 1.0))
-        log(f"original-mode warm-up (compile): {time.time() - t0:.1f}s")
-        besto = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            force(fno(fparamso, cd, sdo, 1.0))
-            besto = min(besto, time.time() - t0)
-        results["uhd_original_device_s"] = round(besto, 2)
-        results["uhd_original_device_mpix_s"] = round(mpix / besto, 2)
-        log(f"UHD original-mode on-device: {besto:.2f}s = "
-            f"{results['uhd_original_device_mpix_s']} MPix/s")
-        del engo, sdo
-    except Exception as e:  # noqa: BLE001 — optional metric
-        log(f"original-mode bench skipped: {e}")
-
-    try:
-        lat = wct_latency()
-        results["wct_latency_ms"] = {k: round(v, 2) for k, v in lat.items()}
-        log(f"WCT transform latency: {results['wct_latency_ms']}")
-    except Exception as e:
-        log(f"wct latency bench failed: {e}")
 
     print(json.dumps({
         "metric": "UHD 10240x4096 5-level WCT stylization, on-device cascade (mode 16x, one v5e chip)",
