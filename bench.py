@@ -395,13 +395,15 @@ def main():
     grid_dt = (time.time() - t0) / len(pairs)
     results["grid_2k_s_per_pair"] = round(grid_dt, 3)
     # link-saturation floor for one pair at this relay's measured bandwidth:
-    # 4:2:0 transport moves 1.5 B/px each way. When grid s/pair sits at this
-    # floor, cross-pair pipelining has already hidden all compute under the
+    # 4:2:0 transport moves 1.5 B/px each way, and the pipelined grid runs
+    # uploads and readbacks concurrently (full duplex), so the floor is the
+    # slower DIRECTION, not the sum. When grid s/pair sits at this floor,
+    # cross-pair pipelining has already hidden all compute under the
     # transfers and only a faster link can improve it.
     if "relay_h2d_mbps" in results and "relay_d2h_mbps" in results:
         pair_mb = 2048 * 1024 * 1.5 / 1e6
-        floor = (pair_mb / max(results["relay_h2d_mbps"], 0.1)
-                 + pair_mb / max(results["relay_d2h_mbps"], 0.1))
+        floor = max(pair_mb / max(results["relay_h2d_mbps"], 0.1),
+                    pair_mb / max(results["relay_d2h_mbps"], 0.1))
         results["grid_2k_link_floor_s"] = round(floor, 3)
         log(f"4x4 grid @2K pipelined: {grid_dt:.3f} s/pair "
             f"(link floor at probed bandwidth: {floor:.3f}s)")
