@@ -289,6 +289,39 @@ def main():
     except Exception as e:
         log(f"wct latency bench failed: {e}")
 
+    # distillation training step (stage-2 wct_se, batch 16 @256² — the
+    # reference's config, main.py:27-47), device-resident batch; random-init
+    # teachers time identically to converted ones
+    try:
+        from collaborative_distillation_tpu.models.specs import (
+            decoder_spec, encoder_spec)
+        from collaborative_distillation_tpu.models.vgg import init_params
+        from collaborative_distillation_tpu.train.trainer import (
+            TrainConfig, Trainer)
+        k1, k2, k3, k4 = jax.random.split(jax.random.key(1), 4)
+        be = init_params(encoder_spec("original", 2), k1)
+        bd = init_params(decoder_spec("original", 2), k2)
+        se = init_params(encoder_spec("16x", 2, aux=True), k3)
+        tr = Trainer(TrainConfig(mode="wct_se", stage=2, batch_size=16),
+                     se, {"be": be, "bd": bd})
+        batch = jax.random.uniform(k4, (16, 256, 256, 3), jnp.float32)
+        t0 = time.time()
+        losses, _ = tr.train_step(batch)
+        float(next(iter(losses.values())))
+        log(f"train-step warm-up (compile): {time.time() - t0:.1f}s")
+        best_tr = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            losses, _ = tr.train_step(batch)
+            float(next(iter(losses.values())))
+            best_tr = min(best_tr, time.time() - t0)
+        results["train_step_s"] = round(best_tr, 3)
+        log(f"train step (wct_se stage 2, batch 16 @256^2): {best_tr:.3f}s = "
+            f"{16 / best_tr:.1f} img/s")
+        del tr, be, bd, se, batch
+    except Exception as e:  # noqa: BLE001 — optional metric
+        log(f"train-step bench skipped: {e}")
+
     # ============ PHASE 2: end-to-end over the relay ============
     cu, su = load_pair(UHD_W, UHD_H)
 
