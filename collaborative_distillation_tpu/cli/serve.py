@@ -10,6 +10,7 @@ no serving story at all — batch CLI only):
                                            + precomputes per-stage statistics)
     GET  /healthz                          liveness + engine config
     GET  /styles                           registered style names
+    GET  /metrics                          request counts + latency p50/p95
 
 Responses are JPEG. Requests serialize through a single engine lock (one
 accelerator). On the PIL/whole-image paths decode/encode happen outside the
@@ -27,6 +28,7 @@ import io
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -103,6 +105,41 @@ def build_app(engine, log, *, max_styles: int = 256,
                 warm_shape(h, w)
         threading.Thread(target=_warm_all, daemon=True).start()
 
+    # observability: rolling stylize latencies + counters (the reference's
+    # only serving-adjacent metric is the CLI's per-pair seconds print,
+    # WCT.py:118; a long-lived server needs to answer "is it healthy and
+    # how slow" without grepping logs)
+    from collections import deque
+    metrics_lock = threading.Lock()
+    metrics = {"stylize_requests": 0, "stylize_errors": 0,
+               "latencies": deque(maxlen=256)}
+
+    def record_stylize(dt_s: float, ok: bool) -> None:
+        with metrics_lock:
+            metrics["stylize_requests"] += 1
+            if ok:
+                metrics["latencies"].append(dt_s)
+            else:
+                metrics["stylize_errors"] += 1
+
+    def metrics_snapshot() -> dict:
+        with metrics_lock:
+            lats = sorted(metrics["latencies"])
+            n_req = metrics["stylize_requests"]
+            n_err = metrics["stylize_errors"]
+        with registry_lock:
+            n_styles = len(styles)
+        out = {"stylize_requests": n_req, "stylize_errors": n_err,
+               "styles": n_styles, "uptime_s": round(time.time() - t_start, 1)}
+        if lats:
+            out["latency_s"] = {
+                "p50": round(lats[len(lats) // 2], 3),
+                "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
+                "max": round(lats[-1], 3)}
+        return out
+
+    t_start = time.time()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
             log(f"{self.address_string()} {fmt % args}")
@@ -131,6 +168,8 @@ def build_app(engine, log, *, max_styles: int = 256,
                 with registry_lock:
                     names = sorted(styles)
                 self._json(200, {"styles": names})
+            elif path == "/metrics":
+                self._json(200, metrics_snapshot())
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -150,6 +189,16 @@ def build_app(engine, log, *, max_styles: int = 256,
                                             "size": list(arr.shape[:2]),
                                             "warming": True})
                 if url.path == "/stylize":
+                    t0 = time.time()
+                    self._timing_stylize = t0
+
+                    def finish(body: bytes):
+                        # clear before recording: connection keep-alive reuses
+                        # this handler instance for later requests
+                        self._timing_stylize = None
+                        record_stylize(time.time() - t0, ok=True)
+                        return self._send(200, body, "image/jpeg")
+
                     q = parse_qs(url.query)
                     alpha = float(q.get("alpha", ["1.0"])[0])
                     name = q.get("style", [None])[0]
@@ -204,7 +253,7 @@ def build_app(engine, log, *, max_styles: int = 256,
                                     data, style_arr, alpha=alpha,
                                     style_key=keyed, quality=95)
                             if body is not None:
-                                return self._send(200, body, "image/jpeg")
+                                return finish(body)
                         planes = decode_jpeg_yuv420(data)
                     else:
                         planes = None
@@ -238,7 +287,7 @@ def build_app(engine, log, *, max_styles: int = 256,
                                 Image.fromarray(out).save(buf, format="JPEG",
                                                           quality=95)
                                 body = buf.getvalue()
-                        return self._send(200, body, "image/jpeg")
+                        return finish(body)
                     # fallback: PNG/other-sampling inputs, rgb transport, or
                     # no native codec
                     content = np.asarray(
@@ -253,9 +302,13 @@ def build_app(engine, log, *, max_styles: int = 256,
                         buf = io.BytesIO()
                         Image.fromarray(out).save(buf, format="JPEG", quality=95)
                         body = buf.getvalue()
-                    return self._send(200, body, "image/jpeg")
+                    return finish(body)
                 return self._json(404, {"error": f"unknown path {url.path}"})
             except Exception as e:  # noqa: BLE001 — turn into a 500, keep serving
+                t0 = getattr(self, "_timing_stylize", None)
+                if t0 is not None:
+                    record_stylize(time.time() - t0, ok=False)
+                    self._timing_stylize = None
                 log(f"request failed: {type(e).__name__}: {e}")
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -269,3 +269,21 @@ def test_auto_transport_gate_small_jpeg_skips_planes_path(rng):
     finally:
         native_codec.decode_jpeg_yuv420 = orig
         srv.shutdown()
+
+
+def test_metrics_endpoint(server, rng):
+    """/metrics reports stylize counts and latency percentiles."""
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    _post(server + "/style/m", _jpeg_bytes(img))
+    code, _, _ = _post(server + "/stylize?style=m", _jpeg_bytes(img))
+    assert code == 200
+    with urllib.request.urlopen(server + "/metrics") as resp:
+        m = json.loads(resp.read())
+    assert m["stylize_requests"] >= 1
+    assert m["styles"] >= 1
+    assert "latency_s" in m and m["latency_s"]["p50"] > 0
+    # a failing request (garbage body) counts as an error
+    _post(server + "/stylize?style=m", b"not an image")
+    with urllib.request.urlopen(server + "/metrics") as resp:
+        m2 = json.loads(resp.read())
+    assert m2["stylize_errors"] >= 1
