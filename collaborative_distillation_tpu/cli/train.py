@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "overrides don't apply then)")
     ap.add_argument("--max_steps", type=int, default=0,
                     help="stop after N steps (0 = run all epochs); for smoke runs")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed precision: bf16 forward/backward, f32 master "
+                         "weights + Adam state (losses accumulate in f32)")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="devices for DP (0 = all local devices)")
     ap.add_argument("--weights_root", type=str, default="")
@@ -150,7 +153,8 @@ def _run_stage(args, stage: int) -> int:
                       batch_size=args.batch_size, epochs=args.epoch,
                       lw_feat=args.lw_feat, lw_pixl=args.lw_pixl,
                       lw_perc=args.lw_perc, lw_kd=args.lw_kd,
-                      aux_relu=args.updim_relu, speedup=args.speedup)
+                      aux_relu=args.updim_relu, speedup=args.speedup,
+                      compute_dtype="bfloat16" if args.bf16 else "float32")
     trainer = Trainer(cfg, student, frozen, mesh=mesh)
     start_epoch = 1
     if args.resume:

@@ -40,14 +40,23 @@ def reflect_pad(x: jax.Array, pad: int = 1) -> jax.Array:
 
 
 def conv2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """VALID conv, NHWC x HWIO -> NHWC, f32 accumulation on the MXU."""
+    """VALID conv, NHWC x HWIO -> NHWC, f32 accumulation on the MXU.
+
+    For f32 inputs the f32 accumulation is requested explicitly; for bf16
+    the MXU accumulates in f32 natively and rounds at the output, and we
+    must NOT request an f32 output — jax's conv transpose rule cannot pair
+    the resulting f32 cotangent with bf16 operands, which would break
+    mixed-precision training (jax 0.9 TypeError in the backward pass).
+    """
+    kwargs = ({"preferred_element_type": jnp.float32}
+              if x.dtype == jnp.float32 else {})
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        **kwargs,
     )
     if b is not None:
         y = y + b.astype(y.dtype)

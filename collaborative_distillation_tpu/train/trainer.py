@@ -38,6 +38,11 @@ class TrainConfig:
     lw_kd: float = 1.0
     aux_relu: bool = False        # --updim_relu
     speedup: int = 16
+    # mixed precision: forward/backward in this dtype, master weights +
+    # Adam state stay f32 (loss MSEs accumulate in f32 regardless —
+    # losses.mse upcasts). "bfloat16" halves the HBM traffic of the conv
+    # stacks on TPU; the reference is f32-only.
+    compute_dtype: str = "float32"
 
 
 def make_loss_fn(cfg: TrainConfig) -> tuple[Callable, dict[str, float]]:
@@ -85,11 +90,23 @@ class Trainer:
         self.mesh = mesh
         self.step_count = 0
 
+        cdt = jnp.dtype(cfg.compute_dtype)
+        if cdt == jnp.float32:
+            cast = lambda tree: tree
+        else:
+            def cast(tree):
+                return jax.tree.map(
+                    lambda x: x.astype(cdt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
         def step(params, opt_state, frozen, batch):
             def total_loss(p):
-                losses, rec = self.loss_graph(p, frozen, batch)
+                # p is cast INSIDE the differentiated function: jax.grad
+                # through astype gives f32 master-weight gradients from the
+                # low-precision forward/backward (standard mixed precision)
+                losses, rec = self.loss_graph(cast(p), cast(frozen), cast(batch))
                 total = sum(self.loss_weights[name] * val for name, val in losses.items())
-                return total, (losses, rec)
+                return total, (losses, rec.astype(jnp.float32))
 
             (_, (losses, rec)), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)

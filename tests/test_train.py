@@ -194,3 +194,44 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     out = load_checkpoint_orbax(path, tree)
     np.testing.assert_array_equal(out["params"]["conv"]["w"], tree["params"]["conv"]["w"])
     assert int(out["step"]) == 7
+
+
+def test_mixed_precision_training_step(rng):
+    """compute_dtype='bfloat16': params/opt-state stay f32, losses finite,
+    loss decreases over steps, and the step tracks the f32 trainer closely
+    at the start of training (same init, same batch)."""
+    import jax
+
+    from collaborative_distillation_tpu.models.specs import (
+        decoder_spec, encoder_spec)
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.train.trainer import (
+        TrainConfig, Trainer)
+
+    k1, k2, k3 = jax.random.split(jax.random.key(5), 3)
+    be = init_params(encoder_spec("original", 1), k1)
+    bd = init_params(decoder_spec("original", 1), k2)
+    se = init_params(encoder_spec("16x", 1, aux=True), k3)
+    batch = rng.random((2, 32, 32, 3)).astype(np.float32)
+
+    cfg16 = TrainConfig(mode="wct_se", stage=1, batch_size=2,
+                        compute_dtype="bfloat16")
+    # independent copies: the jit'd step DONATES its params buffers
+    tr16 = Trainer(cfg16, jax.tree.map(jnp.copy, se), {"be": be, "bd": bd})
+    tr32 = Trainer(TrainConfig(mode="wct_se", stage=1, batch_size=2),
+                   jax.tree.map(jnp.copy, se), {"be": be, "bd": bd})
+
+    l16_first, rec = tr16.train_step(batch)
+    l32_first, _ = tr32.train_step(batch)
+    assert rec.dtype == jnp.float32
+    for name, v in l16_first.items():
+        v16, v32 = float(v), float(l32_first[name])
+        assert np.isfinite(v16)
+        assert abs(v16 - v32) / max(abs(v32), 1e-6) < 0.1, (name, v16, v32)
+    # master weights stay f32
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(tr16.params))
+    first = sum(float(v) for v in l16_first.values())
+    for _ in range(8):
+        losses, _ = tr16.train_step(batch)
+    assert sum(float(v) for v in losses.values()) < first
