@@ -35,6 +35,7 @@ skinny stages.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -612,6 +613,14 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     if params is None:
         params = helper.packed_params if packed else {
             k: {"enc": pyramid[k]["enc"], "dec": pyramid[k]["dec"]} for k in stages}
+    # CD_TPU_SLAB_UNROLL > 1 unrolls the per-slab scans up to that factor:
+    # with few slabs (UHD at slab 2048 has 2) the slab indices become
+    # constants, turning dynamic_slice/dynamic_update_slice into static ops
+    # XLA can fuse away (profile attribution: ~8% of the cascade in scan
+    # output writes + part of the 21% copy/relayout time). Off by default
+    # pending an on-device A/B; correctness is pinned by the unrolled
+    # variant of the fused==per-stage test.
+    unroll_cap = int(os.environ.get("CD_TPU_SLAB_UNROLL", "1"))
 
     def _encode(pk, sl, spec):
         return _encode_any(pk, sl, spec, packed)
@@ -669,7 +678,9 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
 
             init = (jnp.zeros((c,), jnp.float32), jnp.zeros((c, c), jnp.float32),
                     jnp.zeros((), jnp.float32))
-            (s1, s2, cnt), cached = lax.scan(stat_body, init, jnp.arange(n_slabs))
+            (s1, s2, cnt), cached = lax.scan(
+                stat_body, init, jnp.arange(n_slabs),
+                unroll=min(unroll_cap, n_slabs))
             c_mean = s1 / cnt
             c_cov = (s2 - cnt * jnp.outer(c_mean, c_mean)) / (cnt - 1)
             t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
@@ -692,7 +703,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                     out_img, dec.astype(out_img.dtype), (0, i * slab, 0, 0)), None
 
             xs = (jnp.arange(n_slabs), cached) if cache else jnp.arange(n_slabs)
-            img, _ = lax.scan(apply_body, jnp.zeros_like(img), xs)
+            img, _ = lax.scan(apply_body, jnp.zeros_like(img), xs,
+                              unroll=min(unroll_cap, n_slabs))
         return img
 
     return jax.jit(fn), params

@@ -465,3 +465,23 @@ def test_streamed_tail_failure_falls_back(rng, monkeypatch):
         out = eng2.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
     assert eng2._fused_slab is None  # degraded for this engine's lifetime
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+
+def test_fused_cascade_unrolled_matches(rng, monkeypatch):
+    """CD_TPU_SLAB_UNROLL unrolls the per-slab scans (constant indices ->
+    static slicing); output must match the rolled scans up to the f32
+    reassociation the unrolled accumulation allows XLA."""
+    from collaborative_distillation_tpu.wct.slab import build_fused_slab_cascade
+
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    content = jnp.asarray(rng.random((1, 128, 32, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    fn, params = build_fused_slab_cascade(pyramid, stages=stages, slab_rows=32)
+    ref = np.asarray(fn(params, content, style, 0.9))
+    monkeypatch.setenv("CD_TPU_SLAB_UNROLL", "8")
+    ufn, uparams = build_fused_slab_cascade(pyramid, stages=stages,
+                                            slab_rows=32)
+    out = np.asarray(ufn(uparams, content, style, 0.9))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
