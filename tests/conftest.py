@@ -14,6 +14,10 @@ import sys
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
+# keep CPU-test compile artifacts out of the real (TPU) persistent cache:
+# they'd only add cross-machine AOT-load warnings and disk churn there.
+# jaxconfig's own tests monkeypatch their own cache dirs.
+os.environ.setdefault("CD_TPU_COMPILATION_CACHE_DIR", "off")
 
 import jax  # noqa: E402
 

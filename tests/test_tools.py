@@ -172,3 +172,40 @@ def test_ssim_properties(rng):
     batched = ssim(a, b)
     singles = (ssim(a[0], b[0]) + ssim(a[1], b[1])) / 2
     assert abs(batched - singles) < 1e-9
+
+
+def test_stylize_cli_flag_surface(weights_root, tmp_path):
+    """The reference WCT.py flag surface end to end: picked marks select one
+    pair out of a 2x2 grid, --alpha/--num_run/--content_size/--style_size
+    apply, and --synthesis stylizes noise from the texture dir."""
+    import os
+
+    from collaborative_distillation_tpu.cli.stylize import main
+
+    rng = np.random.default_rng(0)
+    cdir, sdir, tdir = tmp_path / "c", tmp_path / "s", tmp_path / "t"
+    for d in (cdir, sdir, tdir):
+        d.mkdir()
+    for name, d in [("cat", cdir), ("dog", cdir), ("blue", sdir),
+                    ("red", sdir), ("tex", tdir)]:
+        Image.fromarray((rng.random((96, 80, 3)) * 255).astype(np.uint8)
+                        ).save(d / f"{name}.jpg")
+    outf = str(tmp_path / "out")
+    rc = main(["--mode", "16x", "--contentPath", str(cdir),
+               "--stylePath", str(sdir), "--outf", outf, "--debug",
+               "--weights_root", weights_root,
+               "--picked_content_mark", "cat", "--picked_style_mark", "blue",
+               "--alpha", "0.5", "--num_run", "2",
+               "--content_size", "64", "--style_size", "64"])
+    assert rc == 0
+    outs = sorted(f for f in os.listdir(outf) if f.endswith(".jpg"))
+    # the picked pair only, reference naming content+style.jpg (log-mark
+    # prefixed like the reference's experiment dirs)
+    assert len(outs) == 1 and outs[0].endswith("cat+blue.jpg")
+
+    outf2 = str(tmp_path / "out2")
+    rc = main(["--mode", "16x", "--stylePath", str(sdir), "--outf", outf2,
+               "--debug", "--weights_root", weights_root, "--synthesis",
+               "--texturePath", str(tdir), "--style_size", "64"])
+    assert rc == 0
+    assert any(f.endswith(".jpg") for f in os.listdir(outf2))
