@@ -202,12 +202,45 @@ def build_app(engine, log, *, max_styles: int = 256,
                     q = parse_qs(url.query)
                     alpha = float(q.get("alpha", ["1.0"])[0])
                     name = q.get("style", [None])[0]
-                    with registry_lock:
-                        entry = styles.get(name) if name else None
-                        if entry is not None:
-                            styles.move_to_end(name)
-                        known = sorted(styles)
-                    style_arr, keyed = entry if entry is not None else (None, None)
+                    import re as _re
+                    if (name and _re.search(r"[+,\s]", name)
+                            and hasattr(engine, "blend_styles")):
+                        # multi-style blend: style=a:0.6,b:0.4 (weights
+                        # optional, default equal; '+' also accepted — URL
+                        # decoding turns it into a space). Per-style
+                        # statistics are already warm in the engine cache;
+                        # the blend itself is a few C x C adds under the
+                        # device lock.
+                        parts = [p.partition(":") for p in
+                                 _re.split(r"[+,\s]+", name) if p]
+                        with registry_lock:
+                            entries = [styles.get(nm) for nm, _, _ in parts]
+                            known = sorted(styles)
+                        missing = [p[0] for p, e in zip(parts, entries)
+                                   if e is None]
+                        if missing:
+                            return self._json(400, {
+                                "error": f"unknown styles {missing} in blend "
+                                         f"{name!r}", "styles": known})
+                        try:
+                            ws = [float(wtxt) if wtxt else 1.0
+                                  for _, _, wtxt in parts]
+                        except ValueError:
+                            return self._json(400, {
+                                "error": f"bad blend weights in {name!r} "
+                                         f"(want style:weight+style:weight)"})
+                        with lock:
+                            keyed, style_arr = engine.blend_styles(
+                                [e[0] for e in entries], ws,
+                                style_keys=[e[1] for e in entries])
+                    else:
+                        with registry_lock:
+                            entry = styles.get(name) if name else None
+                            if entry is not None:
+                                styles.move_to_end(name)
+                            known = sorted(styles)
+                        style_arr, keyed = (entry if entry is not None
+                                            else (None, None))
                     if style_arr is None:
                         return self._json(400, {
                             "error": f"unknown style {name!r}; register via POST /style/<name>",

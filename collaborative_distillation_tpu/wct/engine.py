@@ -321,6 +321,92 @@ class WCTEngine:
                     self._style_cache.popitem(last=False)
         return stats
 
+    def blend_styles(self, styles, weights=None, *, style_keys=None):
+        """Precompute statistics for a weighted blend of styles.
+
+        Returns ``(style_key, proxy_style)``: pass them to :meth:`stylize`
+        (or any serve path) as the style image + key — the proxy is a tiny
+        black image whose encode is skipped because the blended statistics
+        are already cached under the returned key.
+
+        Blending is *statistics interpolation*: per stage, the target mean
+        and covariance are the weighted sums of the per-style statistics
+        (a convex combination of PSD matrices is PSD). This is the
+        O(1)-extra-cost analog of the WCT paper's style-interpolation
+        (which blends the transformed features, paying one full transform
+        per style); with cached per-style stats a blend costs a few C x C
+        adds. Beyond-reference capability — the reference has no
+        multi-style story.
+
+        Per-style statistics are cached under ``style_keys`` entries when
+        given (so serve blends reuse registered styles' stats), and the
+        blended entries under a deterministic combo key when all inputs
+        are keyed.
+        """
+        import uuid
+
+        n = len(styles)
+        if n == 0:
+            raise ValueError("blend_styles needs at least one style")
+        w = (np.full(n, 1.0 / n) if weights is None
+             else np.asarray(weights, np.float64))
+        if len(w) != n or (w < 0).any() or w.sum() <= 0:
+            raise ValueError(f"bad blend weights {weights!r}")
+        w = w / w.sum()
+        if style_keys is None:
+            style_keys = [None] * n
+        if self.slab is not None and self._fused_slab is None:
+            raise ValueError(
+                "style blending needs the fused slab path (fused=True) — "
+                "the non-fused slab cascade re-encodes the raw style")
+        if all(k is not None for k in style_keys):
+            blend_key = "blend:" + "+".join(
+                f"{k}:{wi:.4f}" for k, wi in zip(style_keys, w))
+        else:
+            blend_key = "blend:" + uuid.uuid4().hex
+
+        mult_h = 16 * self.space if self.space else 16
+        proxy = np.zeros((mult_h, 16, 3), np.float32)
+        proxy_shape = (1, mult_h, 16, 3)
+
+        def prep(s):
+            sty = jnp.asarray(s)
+            if sty.ndim == 3:
+                sty = sty[None]
+            sty = (self._u8_to_float(sty) if sty.dtype == jnp.uint8
+                   else sty).astype(self.dtype)
+            return _pad_to_multiple(sty, mult_h, 16)[0]
+
+        dev = [prep(s) for s in styles]
+
+        def blend(pairs):  # [(mean, cov)] weighted sum
+            m = sum(wi * p[0].astype(jnp.float32) for wi, p in zip(w, pairs))
+            c = sum(wi * p[1].astype(jnp.float32) for wi, p in zip(w, pairs))
+            return m, c
+
+        with_fused = self._fused_slab is not None
+        if with_fused:
+            per = [self._fused_style_stats(d, style_key=k)
+                   for d, k in zip(dev, style_keys)]
+            fused_blend = {k: blend([p[k] for p in per]) for k in self.stages}
+            with self._cache_lock:
+                self._style_cache[("fused", blend_key, proxy_shape)] = fused_blend
+        for k in self.stages:
+            per_k = [self._style_stats(k, d, cache_key=sk)
+                     for d, sk in zip(dev, style_keys)]
+            with self._cache_lock:
+                self._style_cache[(k, blend_key, proxy_shape)] = blend(per_k)
+        with self._cache_lock:
+            while len(self._style_cache) > STYLE_CACHE_MAX:
+                self._style_cache.popitem(last=False)
+        return blend_key, proxy
+
+    def stylize_multi(self, content, styles, weights=None, alpha: float = 1.0,
+                      *, style_keys=None, **kw):
+        """Stylize with a weighted blend of styles (see :meth:`blend_styles`)."""
+        key, proxy = self.blend_styles(styles, weights, style_keys=style_keys)
+        return self.stylize(content, proxy, alpha, style_key=key, **kw)
+
     # -- the three pipeline phases: upload/convert/pad -> cascade -> fetch --
 
     def _to_device(self, content: np.ndarray, style: np.ndarray,

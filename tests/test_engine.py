@@ -128,3 +128,64 @@ def test_teacher_mode_auto_disables_packed():
     forced = WCTEngine(mode="original", stages=(1,), pyramid=pyr("original"),
                        slab_rows=32, packed=True)
     assert forced.slab.packed is True
+
+
+def test_style_blend_degenerate_equals_single(rng):
+    """stylize_multi with weights [1, 0] must equal single-style stylize
+    exactly (the blended stats reduce to style A's)."""
+    import jax
+
+    from collaborative_distillation_tpu.models import (
+        decoder_spec, encoder_spec, init_params)
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    espec = encoder_spec("16x", 1, aux=True)
+    dspec = decoder_spec("16x", 1)
+    pyramid = {1: {"enc_spec": espec, "dec_spec": dspec,
+                   "enc": init_params(espec, jax.random.key(0)),
+                   "dec": init_params(dspec, jax.random.key(1))}}
+    eng = WCTEngine(mode="toy", stages=(1,), pyramid=pyramid)
+    c = rng.random((48, 48, 3)).astype(np.float32)
+    sa = rng.random((48, 48, 3)).astype(np.float32)
+    sb = rng.random((48, 48, 3)).astype(np.float32)
+    ref = eng.stylize(c, sa, 1.0)
+    out = eng.stylize_multi(c, [sa, sb], [1.0, 0.0])
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # a genuine blend differs from both endpoints
+    mid = eng.stylize_multi(c, [sa, sb], [0.5, 0.5])
+    assert np.abs(mid - ref).mean() > 1e-3
+    assert np.abs(mid - eng.stylize(c, sb, 1.0)).mean() > 1e-3
+
+
+def test_style_blend_fused_path_and_key_caching(rng):
+    """Blending works on the fused slab path, and keyed blends land in the
+    style cache under a deterministic combo key."""
+    import jax
+
+    from collaborative_distillation_tpu.models import (
+        decoder_spec, encoder_spec, init_params)
+    from collaborative_distillation_tpu.wct.engine import WCTEngine
+
+    pyr = {}
+    for s in (2, 1):
+        espec = encoder_spec("16x", s, aux=True)
+        dspec = decoder_spec("16x", s)
+        pyr[s] = {"enc_spec": espec, "dec_spec": dspec,
+                  "enc": init_params(espec, jax.random.key(s)),
+                  "dec": init_params(dspec, jax.random.key(10 + s))}
+    eng = WCTEngine(mode="toy", stages=(2, 1), pyramid=pyr, slab_rows=32)
+    c = rng.random((96, 48, 3)).astype(np.float32)
+    sa = rng.random((64, 48, 3)).astype(np.float32)
+    sb = rng.random((64, 48, 3)).astype(np.float32)
+    key, proxy = eng.blend_styles([sa, sb], [0.7, 0.3],
+                                  style_keys=["a", "b"])
+    assert key == "blend:a:0.7000+b:0.3000"
+    out = eng.stylize(c, proxy, 1.0, style_key=key)
+    assert out.shape == c.shape
+    ref = eng.stylize(c, sa, 1.0, style_key="a")
+    assert np.abs(out - ref).mean() > 1e-3
+    # w=[1,0] through the fused path reduces to style A's output
+    key1, proxy1 = eng.blend_styles([sa, sb], [1.0, 0.0],
+                                    style_keys=["a", "b"])
+    np.testing.assert_allclose(eng.stylize(c, proxy1, 1.0, style_key=key1),
+                               ref, atol=1e-5)

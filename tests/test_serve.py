@@ -287,3 +287,23 @@ def test_metrics_endpoint(server, rng):
     with urllib.request.urlopen(server + "/metrics") as resp:
         m2 = json.loads(resp.read())
     assert m2["stylize_errors"] >= 1
+
+
+def test_style_blend_over_http(server, rng):
+    """style=a:0.6+b:0.4 blends registered styles; unknown names 400."""
+    a = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    b = 255 - a
+    _post(server + "/style/ba", _jpeg_bytes(a))
+    _post(server + "/style/bb", _jpeg_bytes(b))
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    code, body, ctype = _post(server + "/stylize?style=ba:0.6+bb:0.4",
+                              _jpeg_bytes(img))
+    assert code == 200 and ctype == "image/jpeg"
+    out = np.asarray(Image.open(io.BytesIO(body)))
+    assert out.shape == (40, 40, 3)
+    code, body, _ = _post(server + "/stylize?style=ba:0.6+nope:0.4",
+                          _jpeg_bytes(img))
+    assert code == 400 and b"nope" in body
+    code, body, _ = _post(server + "/stylize?style=ba:x+bb:0.4",
+                          _jpeg_bytes(img))
+    assert code == 400 and b"weight" in body
