@@ -235,3 +235,35 @@ def test_mixed_precision_training_step(rng):
     for _ in range(8):
         losses, _ = tr16.train_step(batch)
     assert sum(float(v) for v in losses.values()) < first
+
+
+def test_mixed_precision_dp_matches_single_device(rng):
+    """bf16 DP step == bf16 single-device step (gradient psum on the f32
+    master-weight side; batch sharded over 'data')."""
+    import jax
+
+    from collaborative_distillation_tpu.models.specs import (
+        decoder_spec, encoder_spec)
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.parallel.mesh import make_mesh
+    from collaborative_distillation_tpu.train.trainer import (
+        TrainConfig, Trainer)
+
+    k1, k2, k3 = jax.random.split(jax.random.key(9), 3)
+    be = init_params(encoder_spec("original", 1), k1)
+    bd = init_params(decoder_spec("original", 1), k2)
+    se = init_params(encoder_spec("16x", 1, aux=True), k3)
+    batch = rng.random((4, 32, 32, 3)).astype(np.float32)
+    cfg = TrainConfig(mode="wct_se", stage=1, batch_size=4,
+                      compute_dtype="bfloat16")
+    single = Trainer(cfg, jax.tree.map(jnp.copy, se), {"be": be, "bd": bd})
+    dp = Trainer(cfg, jax.tree.map(jnp.copy, se), {"be": be, "bd": bd},
+                 mesh=make_mesh(data=4))
+    ls, _ = single.train_step(batch)
+    ld, _ = dp.train_step(batch)
+    for name in ls:
+        # bf16 forward: psum reduction order differs slightly across shards
+        np.testing.assert_allclose(float(ld[name]), float(ls[name]),
+                                   rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(single.params), jax.tree.leaves(dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
