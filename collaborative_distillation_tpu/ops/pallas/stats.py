@@ -57,13 +57,15 @@ def fused_sum_gram(x: jax.Array, *, block_rows: int = 4096,
     """x: (P, C) float -> (sum (C,), gram (C, C)) in f32, one HBM pass."""
     p, c = x.shape
     x = x.astype(jnp.float32)
-    # scoped VMEM is 16 MB and the kernel's working set scales as ~16 B per
-    # row-channel (double-buffered input block + MXU staging) plus two C x C
-    # f32 accumulators. The 4096-row default is sized for student widths
-    # (C <= 128); teacher widths would OOM the compiler (observed: C=512 x
-    # 4096 rows requested 33.2 MB) — cap the block so every width compiles.
-    max_rows = max(512, (12 * 1024 * 1024 - 8 * c * c) // (16 * c) // 8 * 8)
-    block_rows = min(block_rows, max_rows)
+    # scoped VMEM is 16 MB. Measured scoped-allocation sizes on the remote
+    # v5e compiler: (C=512, 4096 rows) -> 33.2 MB, (C=512, 1280) -> 16.2 MB,
+    # (C=256, 2680) -> 16.1 MB — consistent with ~12 B per row-channel of
+    # slope plus a ~8.5 MB width-independent staging cost. The 4096-row
+    # default is production-proven at student widths (C <= 128); for wider
+    # (teacher) channels cap the block to keep the estimate under ~14 MB.
+    if c > 128:
+        block_rows = min(block_rows,
+                         max(256, (5_500_000 // (12 * c)) // 8 * 8))
     pad = (-p) % block_rows
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
