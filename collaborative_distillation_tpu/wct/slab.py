@@ -617,10 +617,15 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     # with few slabs (UHD at slab 2048 has 2) the slab indices become
     # constants, turning dynamic_slice/dynamic_update_slice into static ops
     # XLA can fuse away (profile attribution: ~8% of the cascade in scan
-    # output writes + part of the 21% copy/relayout time). Off by default
-    # pending an on-device A/B; correctness is pinned by the unrolled
-    # variant of the fused==per-stage test.
-    unroll_cap = int(os.environ.get("CD_TPU_SLAB_UNROLL", "1"))
+    # output writes + part of the 21% copy/relayout time). On-device A/B at
+    # UHD (r3): 1.903 s rolled vs 1.854 s fully unrolled (+2.6%), +5 s cold
+    # compile, outputs equal within eigh rounding — so the DEFAULT fully
+    # unrolls 2-slab scans (the UHD shape) and keeps larger counts rolled
+    # (compile cost grows with the factor; gain unmeasured there).
+    # Correctness is pinned by the unrolled variant of the fused==per-stage
+    # test.
+    _unroll_env = os.environ.get("CD_TPU_SLAB_UNROLL")
+    unroll_cap = None if _unroll_env is None else int(_unroll_env)
 
     def _encode(pk, sl, spec):
         return _encode_any(pk, sl, spec, packed)
@@ -635,6 +640,8 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                 f"{slab}; pad the image or pick a smaller slab "
                 f"(WCTEngine.stylize does both automatically)")
         n_slabs = h // slab
+        unroll = (min(unroll_cap, n_slabs) if unroll_cap is not None
+                  else (n_slabs if n_slabs <= 2 else 1))
         for k in stages:
             mk = helper.margins[k]  # per-stage ghost rows (144..16)
             starts = jnp.asarray([s for s, _, _ in helper._slabs(h, k)], jnp.int32)
@@ -679,8 +686,7 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
             init = (jnp.zeros((c,), jnp.float32), jnp.zeros((c, c), jnp.float32),
                     jnp.zeros((), jnp.float32))
             (s1, s2, cnt), cached = lax.scan(
-                stat_body, init, jnp.arange(n_slabs),
-                unroll=min(unroll_cap, n_slabs))
+                stat_body, init, jnp.arange(n_slabs), unroll=unroll)
             c_mean = s1 / cnt
             c_cov = (s2 - cnt * jnp.outer(c_mean, c_mean)) / (cnt - 1)
             t = coloring_matrix(c_cov, s_cov, method=method, eps=eps,
@@ -704,7 +710,7 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
 
             xs = (jnp.arange(n_slabs), cached) if cache else jnp.arange(n_slabs)
             img, _ = lax.scan(apply_body, jnp.zeros_like(img), xs,
-                              unroll=min(unroll_cap, n_slabs))
+                              unroll=unroll)
         return img
 
     return jax.jit(fn), params

@@ -485,3 +485,23 @@ def test_fused_cascade_unrolled_matches(rng, monkeypatch):
                                             slab_rows=32)
     out = np.asarray(ufn(uparams, content, style, 0.9))
     np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_fused_cascade_default_unrolls_two_slabs(rng, monkeypatch):
+    """With no env override the build fully unrolls 2-slab scans (the UHD
+    shape; measured 1.903 -> 1.854 s on-device) and must match an explicitly
+    rolled (CD_TPU_SLAB_UNROLL=1) build."""
+    from collaborative_distillation_tpu.wct.slab import build_fused_slab_cascade
+
+    stages = (2, 1)
+    pyramid = _pyramid(stages)
+    content = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    style = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    monkeypatch.setenv("CD_TPU_SLAB_UNROLL", "1")
+    fn, params = build_fused_slab_cascade(pyramid, stages=stages, slab_rows=32)
+    ref = np.asarray(fn(params, content, style, 0.9))
+    monkeypatch.delenv("CD_TPU_SLAB_UNROLL")
+    ufn, uparams = build_fused_slab_cascade(pyramid, stages=stages,
+                                            slab_rows=32)
+    out = np.asarray(ufn(uparams, content, style, 0.9))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
