@@ -185,11 +185,14 @@ def main():
     results["uhd_device_mpix_s"] = headline
     log(f"UHD on-device cascade: {best_dev:.2f}s = {headline:.2f} MPix/s")
 
-    # bf16 on-device cascade: the cascade is HBM-bandwidth-bound (docs/DESIGN
-    # §3), so halving activation/weight bytes should land near 2x. WCT
-    # statistics/eigh stay f32 internally (ops/wct_transform.py upcasts), so
-    # the quality delta is conv-accumulation only — measured as PSNR vs the
-    # f32 output, computed on-device (one scalar crosses the relay).
+    # bf16 on-device cascade. WCT statistics/eigh stay f32 internally
+    # (ops/wct_transform.py upcasts); PSNR vs the f32 output is computed
+    # on-device (one scalar crosses the relay). CAUTION reading the PSNR:
+    # on these NOISE inputs it is dominated by eigh-rotation sensitivity
+    # (near-degenerate covariance spectra), not precision — pure-f32
+    # reordering (rolled vs unrolled scans) already scores 26.8 dB here,
+    # while on the real UHD photo pair bf16-vs-f32 is 38.3 dB against a
+    # 43.5 dB f32-reordering floor (docs/BENCHMARKS.md round-3 table).
     try:
         out32 = fn(fparams, cd, sd, 1.0)
         eng16 = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True,
