@@ -582,8 +582,9 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
 
     Stages whose full per-image encoder features fit in ``feature_cache_bytes``
     carry them out of the stats scan as stacked scan outputs, so pass 2 skips
-    the re-encode (measured ~0.8 s of the 2.8 s UHD cascade); the huge
-    stage-1/2 features of a 42 MPix image stay recompute-only.
+    the re-encode (measured ~0.8 s of the 2.8 s UHD cascade). At UHD every
+    16x stage fits (stage 1 is the largest at ~4.1 GB); only the teacher
+    (``original``) widths leave stages 1-2 recompute-only (10.9/5.5 GB).
 
     Returns ``(fn, params)`` where ``fn(params, img, style, alpha) -> img``
     expects H == a multiple of slab_rows (>= 2*margin) and W a multiple of 16
@@ -644,8 +645,9 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
                   else (n_slabs if n_slabs <= 2 else 1))
         for k in stages:
             mk = helper.margins[k]  # per-stage ghost rows (144..16)
-            starts = jnp.asarray([s for s, _, _ in helper._slabs(h, k)], jnp.int32)
-            offs = jnp.asarray([o for _, _, o in helper._slabs(h, k)], jnp.int32)
+            slabs_py = list(helper._slabs(h, k))
+            starts = jnp.asarray([s for s, _, _ in slabs_py], jnp.int32)
+            offs = jnp.asarray([o for _, _, o in slabs_py], jnp.int32)
             rows = slab + (2 * mk if n_slabs > 1 else 0)
             spec_e = pyramid[k]["enc_spec"]
             spec_d = pyramid[k]["dec_spec"]
