@@ -61,22 +61,39 @@ def _f_for(c: int) -> int:
 def plan_packing(spec: StageSpec) -> list[tuple[str, int, int]]:
     """[(layer_name, f_in, f_out_after_repack)] for the spec's conv chain.
 
-    f_in of the first layer is the image/feature ingress packing.
+    f_in of the first layer is the image/feature ingress packing. The
+    factor evolves STRUCTURALLY: pools halve it (the phase-pair max's
+    natural output), unpools double it (in-lane phase duplication). In the
+    VGG ladder channels double at every pool and halve before every unpool,
+    so the structural factor tracks ``_f_for`` exactly and every explicit
+    repack — a whole-map layout copy in the compiled program — vanishes.
+    It also halves the packed MAC inflation of each post-pool conv (the old
+    plan ran them at the pre-pool factor). ``f_out != f_in`` (an explicit
+    repack) survives only for specs whose channel changes do not co-occur
+    with a pool/unpool.
     """
     plan = []
     if spec.kind == "encoder":
-        f = MAX_PACK  # image: 3 channels, pack as hard as possible
+        # pack the image at the first conv's own factor (= MAX_PACK for the
+        # C=16 families; 4 for the stage-1 width-24 student; 2 for the
+        # teacher) — packing harder only inflates conv1_1's MACs
+        f = min(MAX_PACK, _f_for(spec.layers[0].out_ch))
     else:
         f = _f_for(spec.layers[0].in_ch)
     for layer in spec.layers:
         f_in = f
-        # repack after the conv to the largest f with f*C_out <= 128; this
-        # goes down as encoder channels grow and back up as decoder channels
-        # shrink (repack is a reshape either way, and keeps every persistent
-        # tensor lane-dense)
-        f_out = _f_for(layer.out_ch)
+        # never carry more phases than the lane budget wants for this C —
+        # but don't repack UP either (under-dense transients are cheaper
+        # than a layout copy; pool/unpool below adjust the factor for free)
+        f_out = min(f_in, _f_for(layer.out_ch))
         plan.append((layer.name, f_in, f_out))
         f = f_out
+        if layer.pool_after:
+            f = max(f // 2, 1)
+        if layer.unpool_after:
+            f2 = 2 * f
+            if f2 <= MAX_PACK and f2 <= _f_for(layer.out_ch):
+                f = f2
     return plan
 
 
@@ -121,14 +138,16 @@ def apply_encoder_packed(packed_params, x: jax.Array, spec: StageSpec):
             preferred_element_type=jnp.float32,
         )
         x = (x + p["b"].astype(jnp.float32)).astype(jnp.float32).astype(x.dtype)
-    for (name, f_in, f_out), layer in zip(plan, spec.layers):
+    for i, ((name, f_in, f_out), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3(x, p["w"], p["b"], f_in, relu=layer.relu)
         if f_out != f_in:
             x = repack(x, f_in, f_out)
         f = f_out
         if layer.pool_after:
-            x = packed_max_pool_2x2(x, f)
+            f_next = plan[i + 1][1] if i + 1 < len(plan) else f
+            x = packed_max_pool_2x2(x, f, out_f=f_next)
+            f = f_next
     return x, f
 
 
@@ -138,14 +157,16 @@ def apply_decoder_packed(packed_params, x: jax.Array, f_in: int, spec: StageSpec
     plan = plan_packing(spec)
     assert plan[0][1] == f_in, (plan[0], f_in)
     f = f_in
-    for (name, fi, fo), layer in zip(plan, spec.layers):
+    for i, ((name, fi, fo), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3(x, p["w"], p["b"], fi, relu=layer.relu)
         if fo != fi:
             x = repack(x, fi, fo)
         f = fo
         if layer.unpool_after:
-            x = packed_upsample_nearest_2x(x, f)
+            f_next = plan[i + 1][1] if i + 1 < len(plan) else f
+            x = packed_upsample_nearest_2x(x, f, out_f=f_next)
+            f = f_next
     return unpack_width(x, f)
 
 

@@ -127,32 +127,64 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array,
     return y
 
 
-def packed_max_pool_2x2(x: jax.Array, f: int) -> jax.Array:
+def packed_max_pool_2x2(x: jax.Array, f: int, out_f: int | None = None) -> jax.Array:
     """2x2/2 max pool in packed space: H via reduce_window, W via a
-    phase-pair max (in-lane), repacked to keep the factor-``f`` contract."""
+    phase-pair max (in-lane).
+
+    Original columns (2m, 2m+1) are phases (2q, 2q+1) of the SAME packed
+    column, so the pair max is an in-lane reduction that naturally halves
+    the packing factor. ``out_f`` selects the output factor:
+
+    * ``out_f == f`` (the default, backward-compatible contract): repack
+      the f/2 result back up to f. Still beats the old cross-column
+      regroup ((wp/2, 2f) reshape) by ~37% (9.2 -> 5.8 ms on an 805 MB
+      map, fori-loop differenced): the regroup splits a major dim and
+      forces an XLA layout copy of the whole map.
+    * ``out_f == f//2``: return the natural f/2 result with NO repack at
+      all — zero layout work. This is what :func:`plan_packing` arranges:
+      in the VGG ladder channels double right after every pool, so f/2 is
+      exactly the next conv's factor and the repack (and its layout copy)
+      vanishes from the program.
+    """
     n, h, wp, fc = x.shape
     c = fc // f
+    if out_f is None:
+        out_f = f
     x = x[:, : (h // 2) * 2]
     # H pooling
     x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
     if f == 1:
+        assert out_f == 1, (f, out_f)
         return lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID")
-    # W pooling: original columns (2m, 2m+1) are phases (2q, 2q+1) of the
-    # SAME packed column, so the pair max is an in-lane reduction that
-    # halves the packing factor; repacking back to f preserves the external
-    # contract. This beats the old cross-column regroup ((wp/2, 2f) reshape)
-    # by ~37% (9.2 -> 5.8 ms on an 805 MB map, fori-loop differenced): the
-    # regroup splits a major dim and forces an XLA layout copy of the whole
-    # map, while the in-lane max + repack stay in layout.
+    assert out_f in (f, f // 2), (f, out_f)
     x = x.reshape(n, h // 2, wp, f // 2, 2, c).max(axis=4)
-    return repack(x.reshape(n, h // 2, wp, (f // 2) * c), f // 2, f)
+    x = x.reshape(n, h // 2, wp, (f // 2) * c)
+    return x if out_f == f // 2 else repack(x, f // 2, f)
 
 
-def packed_upsample_nearest_2x(x: jax.Array, f: int) -> jax.Array:
-    """Nearest 2x upsample in packed space (phases duplicate pairwise)."""
+def packed_upsample_nearest_2x(x: jax.Array, f: int, out_f: int | None = None) -> jax.Array:
+    """Nearest 2x upsample in packed space (phases duplicate pairwise).
+
+    ``out_f`` selects the output factor:
+
+    * ``out_f == f`` (default): duplicated phases regroup into twice the
+      packed columns — the backward-compatible contract.
+    * ``out_f == 2*f``: phases duplicate IN-LANE (a pure minor-dim
+      broadcast, no column regroup, no layout copy) and the packed column
+      count stays put. :func:`plan_packing` arranges this: in the VGG
+      ladder channels halve right before every unpool, so 2f is exactly
+      the next conv's factor.
+    """
     n, h, wp, fc = x.shape
     c = fc // f
+    if out_f is None:
+        out_f = f
     x = jnp.repeat(x, 2, axis=1)
+    if out_f == 2 * f:
+        x = x.reshape(n, 2 * h, wp, f, 1, c)
+        x = jnp.broadcast_to(x, (n, 2 * h, wp, f, 2, c))
+        return x.reshape(n, 2 * h, wp, 2 * f * c)
+    assert out_f == f, (f, out_f)
     if f == 1:
         return jnp.repeat(x, 2, axis=2)
     x = x.reshape(n, 2 * h, wp, f, 1, c)

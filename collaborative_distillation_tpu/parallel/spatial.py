@@ -236,14 +236,16 @@ def apply_encoder_spatial_packed(packed_params, x, spec, axis_name: str):
     if spec.has_conv0:
         p = packed_params["conv0"]
         x = conv1x1(x, p["w"], p["b"])
-    for (name, f_in, f_out), layer in zip(plan, spec.layers):
+    for i, ((name, f_in, f_out), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3_halo(x, p["w"], p["b"], f_in, axis_name, relu=layer.relu)
         if f_out != f_in:
             x = repack(x, f_in, f_out)
         f = f_out
         if layer.pool_after:
-            x = packed_max_pool_2x2(x, f)
+            f_next = plan[i + 1][1] if i + 1 < len(plan) else f
+            x = packed_max_pool_2x2(x, f, out_f=f_next)
+            f = f_next
     return x, f
 
 
@@ -256,14 +258,16 @@ def apply_decoder_spatial_packed(packed_params, x, f_in: int, spec, axis_name: s
     plan = plan_packing(spec)
     assert plan[0][1] == f_in
     f = f_in
-    for (name, fi, fo), layer in zip(plan, spec.layers):
+    for i, ((name, fi, fo), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3_halo(x, p["w"], p["b"], fi, axis_name, relu=layer.relu)
         if fo != fi:
             x = repack(x, fi, fo)
         f = fo
         if layer.unpool_after:
-            x = packed_upsample_nearest_2x(x, f)
+            f_next = plan[i + 1][1] if i + 1 < len(plan) else f
+            x = packed_upsample_nearest_2x(x, f, out_f=f_next)
+            f = f_next
     return unpack_width(x, f)
 
 
