@@ -193,18 +193,37 @@ def packed_feature_stats(xp: jax.Array, f: int, c: int):
 
 def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
                      c_mean: jax.Array, s_mean: jax.Array, alpha) -> jax.Array:
-    """Apply the C x C coloring matrix in packed space via kron(I_f, T)."""
+    """Apply the C x C coloring matrix in packed space via kron(I_f, T).
+
+    ``f == 1`` is the plain unpacked apply (the slab paths reuse it so both
+    pipelines share one implementation).
+
+    The whole transform — centering, coloring, style mean, alpha blend —
+    folds into ONE affine map applied as a fused 1x1 convolution::
+
+        out = alpha*((x - c_mean) @ T^T + s_mean) + (1-alpha)*x
+            = x @ M + beta,   M = alpha*T^T + (1-alpha)*I,
+                              beta = alpha*(s_mean - c_mean @ T^T)
+
+    A 1x1 NHWC conv keeps the channel axis on the lanes, so XLA lowers it
+    as a GEMM *in the feature map's native layout* — the previous
+    reshape-to-(P, C) ``dot_general`` relaid out the whole multi-GB matrix
+    (a 7 ms copy per slab at UHD), and the separate alpha-blend multiply
+    cost one more full-map pass.
+    """
     shape, dtype = xp.shape, xp.dtype
-    x2 = xp.reshape(-1, shape[-1]).astype(jnp.float32)
+    a = jnp.asarray(alpha, jnp.float32)
+    tt = t.astype(jnp.float32).T
+    m = a * tt + (1.0 - a) * jnp.eye(c, dtype=jnp.float32)
+    beta = a * (s_mean.astype(jnp.float32)
+                - jnp.matmul(c_mean.astype(jnp.float32)[None], tt,
+                             precision=lax.Precision.HIGHEST)[0])
     if f > 1:
-        tk = jnp.kron(jnp.eye(f, dtype=t.dtype), t)
-        cm = jnp.tile(c_mean, f)
-        sm = jnp.tile(s_mean, f)
-    else:
-        tk, cm, sm = t, c_mean, s_mean
-    target = lax.dot_general(x2 - cm, tk, (((1,), (1,)), ((), ())),
-                             precision=lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32) + sm
-    alpha = jnp.asarray(alpha, jnp.float32)
-    out = alpha * target + (1.0 - alpha) * x2
-    return out.reshape(shape).astype(dtype)
+        m = jnp.kron(jnp.eye(f, dtype=m.dtype), m)
+        beta = jnp.tile(beta, f)
+    y = lax.conv_general_dilated(
+        xp.astype(jnp.float32), m[None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return (y + beta).reshape(shape).astype(dtype)

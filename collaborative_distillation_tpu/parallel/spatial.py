@@ -33,7 +33,7 @@ from jax import shard_map
 
 from ..models.specs import StageSpec
 from ..ops.conv import conv1x1, conv2d, max_pool_2x2, upsample_nearest_2x
-from ..ops.wct_transform import _mm, coloring_matrix
+from ..ops.wct_transform import coloring_matrix
 
 __all__ = [
     "halo_exchange_rows",
@@ -154,10 +154,9 @@ def wct_transform_spatial(content_feat, style_mean, style_cov, alpha,
     # replicated small-matrix math (every shard computes the same T)
     t = coloring_matrix(c_cov, style_cov.astype(jnp.float32), method=method,
                         eps=eps, newton_iters=newton_iters)
-    target = _mm(x - c_mean, t.T) + style_mean.astype(jnp.float32)
-    alpha = jnp.asarray(alpha, jnp.float32)
-    out = alpha * target + (1.0 - alpha) * x
-    return out.reshape(shape).astype(dtype)
+    from ..models.packed_vgg import packed_wct_apply
+
+    return packed_wct_apply(content_feat, 1, c, t, c_mean, style_mean, alpha)
 
 
 def build_tiled_stylize_fn(pyramid, mesh: Mesh, *, stages=(5, 4, 3, 2, 1),

@@ -53,7 +53,7 @@ from ..models.packed_vgg import (
     packed_wct_apply,
     plan_packing,
 )
-from ..ops.wct_transform import _mm, coloring_matrix
+from ..ops.wct_transform import coloring_matrix
 
 __all__ = ["receptive_radius", "SlabCascade", "build_fused_slab_cascade"]
 
@@ -104,15 +104,10 @@ def _color_decode_feats(feats, f, dk, spec_d: StageSpec, t, c_mean, s_mean,
     """WCT-color + decode one feature slab, slice ``interior`` output rows
     starting at ``offset`` (image scale)."""
     c = t.shape[0]
+    csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
     if packed:
-        csf = packed_wct_apply(feats, f, c, t, c_mean, s_mean, alpha)
         dec = apply_decoder_packed(dk, csf, f, spec_d)
     else:
-        shape, dtype = feats.shape, feats.dtype
-        x = feats.reshape(-1, c).astype(jnp.float32)
-        target = _mm(x - c_mean, t.T) + s_mean
-        a = jnp.asarray(alpha, jnp.float32)
-        csf = (a * target + (1.0 - a) * x).reshape(shape).astype(dtype)
         dec = apply_decoder(dk, csf, spec_d)["out"]
     return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
 
@@ -170,12 +165,7 @@ def _slab_apply(enc_params, dec_params, slab_ext, offset, t, c_mean, s_mean, alp
                 enc_spec: StageSpec, dec_spec: StageSpec, interior: int):
     """Encode -> color -> decode one extended slab; return interior rows."""
     feats = apply_encoder(enc_params, slab_ext, enc_spec)["out"]
-    shape, dtype = feats.shape, feats.dtype
-    c = shape[-1]
-    x = feats.reshape(-1, c).astype(jnp.float32)
-    target = _mm(x - c_mean, t.T) + s_mean
-    alpha = jnp.asarray(alpha, jnp.float32)
-    csf = (alpha * target + (1.0 - alpha) * x).reshape(shape).astype(dtype)
+    csf = packed_wct_apply(feats, 1, feats.shape[-1], t, c_mean, s_mean, alpha)
     dec = apply_decoder(dec_params, csf, dec_spec)["out"]
     return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
 
