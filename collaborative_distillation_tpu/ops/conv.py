@@ -65,15 +65,11 @@ def conv2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
 
 def conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *, relu: bool = True) -> jax.Array:
     """Reflect-pad(1) + 3x3 VALID conv (+ optional ReLU): the reference's
-    universal conv block (e.g. model_original.py:494 ``relu(conv(pad(x)))``).
-
-    Implemented without materialising the pad (two full-map copies per conv
-    otherwise): fused zero-pad conv + exact sliver edge corrections — see
-    :func:`..ops.packed.packed_conv3x3`, of which this is the f=1 case.
-    """
-    from .packed import packed_conv3x3
-
-    return packed_conv3x3(x, w, b, 1, relu=relu)
+    universal conv block (e.g. model_original.py:494 ``relu(conv(pad(x)))``)."""
+    y = conv2d(reflect_pad(x, 1), w, b)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
 
 
 def conv1x1(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *, relu: bool = False) -> jax.Array:

@@ -106,72 +106,31 @@ def _reflect_pad_w_packed(x: jax.Array, f: int) -> jax.Array:
     return jnp.concatenate([left, x, right], axis=2)
 
 
-def _conv(x: jax.Array, w: jax.Array, padding) -> jax.Array:
-    """NHWC/HWIO conv. f32 accumulation is requested explicitly only for f32
-    inputs — for bf16 the MXU accumulates f32 natively, and requesting an f32
-    output would break jax's conv transpose rule in mixed-precision training
-    (same contract as ops.conv.conv2d)."""
-    kwargs = ({"preferred_element_type": jnp.float32}
-              if x.dtype == jnp.float32 else {})
-    return lax.conv_general_dilated(
-        x, w, (1, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs)
-
-
 def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None,
                    f: int, *, relu: bool = True) -> jax.Array:
-    """Reflect-pad + 3x3 conv + optional relu, in width-packed space
-    (``f == 1`` degenerates to the plain unpacked reflect conv).
+    """Reflect-pad + 3x3 conv + optional relu, in width-packed space.
 
-    ``x``: (N, H, Wp, f*C). The padding is NOT materialised: explicit
-    reflect pads cost two full-feature-map copies per conv (H-pad concat +
-    W-pad concat) — measured 38% of the whole UHD cascade. Instead the main
-    conv runs with a *fused zero pad* (free inside the conv), and the
-    reflected borders are restored exactly by four O(H+W) sliver
-    convolutions added into the output edges:
+    ``x``: (N, H, Wp, f*C); H is reflect-padded normally, W via the packed
+    pad-column construction. Uses default (bf16) MXU precision with f32
+    accumulation — the conv path's speed mode.
 
-    * rows 0 / H-1 miss their out-of-range row's taps: a 1x3 packed-W conv
-      of the reflected neighbour row (row 1 / H-2, W-padded) with the
-      kernel's kh=0 / kh=2 slice — this also covers the four corners, since
-      the sliver carries its own W pad columns;
-    * output phase 0 of packed column 0 (original column 0) misses the
-      left-neighbour taps, which reflect-read original column 1 = phase 1
-      of packed column 0 (``f``=1: plain column 1): a 3x1 conv of that
-      column sliver with the kernel block holding w[:, dx=-1]
-      (= ``w_packed[:, 0, (f-1)c:fc, :co]`` by the packing construction),
-      H-zero-padded so the corner terms stay with the row slivers; the
-      right edge mirrors it at phase f-1 / w[:, dx=+1].
-
-    The result is bit-identical to the materialised-pad version up to
-    f32 summation order on the edge pixels themselves (edge taps are summed
-    in two groups instead of one conv reduction).
+    The pads are MATERIALISED on purpose. A "fused zero-pad conv + O(H+W)
+    sliver corrections added into the output edges" variant was built and
+    measured at UHD: 2.011 s vs 1.696 s for this version — the four edge
+    ``.at[].add`` updates and sliver convs broke XLA's conv/elementwise
+    fusion and cost far more than the two pad copies they removed (the pad
+    concats fuse into the surrounding elementwise pipeline; they are not
+    standalone full-map copies in the trace).
     """
-    n, h, wp, fc = x.shape
-    assert h >= 2, f"packed_conv3x3 needs H >= 2, got {h}"
-    assert wp >= 2 or f >= 2, f"needs >= 2 original columns, got {(wp, f)}"
-    c = fc // f
-    fco = w_packed.shape[-1]
-    co = fco // f
-    wd = w_packed.astype(x.dtype)
-    y = _conv(x, wd, ((1, 1), (1, 1)))
-    # top/bottom rows: add the taps the fused zero pad dropped
-    top = _conv(_reflect_pad_w_packed(x[:, 1:2], f), wd[0:1], "VALID")
-    bot = _conv(_reflect_pad_w_packed(x[:, h - 2:h - 1], f), wd[2:3], "VALID")
-    y = y.at[:, 0:1].add(top)
-    y = y.at[:, h - 1:h].add(bot)
-    # left/right original-column edges
-    if f == 1:
-        lsrc = x[:, :, 1:2, :]
-        rsrc = x[:, :, wp - 2:wp - 1, :]
-    else:
-        lsrc = x[:, :, 0:1, c:2 * c]
-        rsrc = x[:, :, wp - 1:wp, (f - 2) * c:(f - 1) * c]
-    lcorr = _conv(lsrc, wd[:, 0:1, (f - 1) * c:, :co], ((1, 1), (0, 0)))
-    rcorr = _conv(rsrc, wd[:, 2:3, :c, (f - 1) * co:], ((1, 1), (0, 0)))
-    y = y.at[:, :, 0:1, :co].add(lcorr)
-    y = y.at[:, :, wp - 1:wp, (f - 1) * co:].add(rcorr)
+    x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    x = _reflect_pad_w_packed(x, f)
+    y = lax.conv_general_dilated(
+        x, w_packed.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
     if b_packed is not None:
-        y = y + b_packed.astype(y.dtype)
+        y = y + b_packed.astype(jnp.float32)
     y = y.astype(x.dtype)
     if relu:
         y = jnp.maximum(y, 0)

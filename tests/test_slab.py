@@ -464,7 +464,11 @@ def test_streamed_tail_failure_falls_back(rng, monkeypatch):
     with pytest.warns(RuntimeWarning, match="falling"):
         out = eng2.stylize(c, s, alpha=0.8, style_key="x", as_uint8=True)
     assert eng2._fused_slab is None  # degraded for this engine's lifetime
-    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # fused-streamed vs per-stage-slab reach the same math through different
+    # f32 summation orders; allow a stray pixel one extra uint8 step out
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() <= 2e-3, (diff > 1).mean()
 
 
 
