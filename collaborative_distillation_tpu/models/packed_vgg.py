@@ -132,12 +132,13 @@ def apply_encoder_packed(packed_params, x: jax.Array, spec: StageSpec):
     x = pack_width(x, f)
     if spec.has_conv0:
         p = packed_params["conv0"]
-        x = lax.conv_general_dilated(
+        kwargs = ({"preferred_element_type": jnp.float32}
+                  if x.dtype == jnp.float32 else {})
+        y = lax.conv_general_dilated(
             x, p["w"].astype(x.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs,
         )
-        x = (x + p["b"].astype(jnp.float32)).astype(jnp.float32).astype(x.dtype)
+        x = (y + p["b"].astype(y.dtype)).astype(x.dtype)
     for i, ((name, f_in, f_out), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3(x, p["w"], p["b"], f_in, relu=layer.relu)
@@ -221,9 +222,20 @@ def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
     if f > 1:
         m = jnp.kron(jnp.eye(f, dtype=m.dtype), m)
         beta = jnp.tile(beta, f)
+    if dtype == jnp.float32:
+        # exact path: HIGHEST-precision GEMM, f32 accumulation
+        y = lax.conv_general_dilated(
+            xp, m[None, None], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return (y + beta).reshape(shape).astype(dtype)
+    # bf16 engine: keep the map in bf16 end to end — upcasting here would
+    # materialise a full f32 map and a separate convert (the convert does
+    # not fuse back into the conv on TPU), erasing the bandwidth saving the
+    # bf16 engine exists for. M/beta are still formed in f32 above; the MXU
+    # accumulates f32 natively and rounds once at the output.
     y = lax.conv_general_dilated(
-        xp.astype(jnp.float32), m[None, None], (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    return (y + beta).reshape(shape).astype(dtype)
+        xp, m[None, None].astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (y + beta.astype(y.dtype)).reshape(shape).astype(dtype)

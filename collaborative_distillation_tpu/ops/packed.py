@@ -124,13 +124,19 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
     """
     x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
     x = _reflect_pad_w_packed(x, f)
+    # f32 accumulation is requested explicitly only for f32 inputs; for bf16
+    # the MXU accumulates f32 natively and must EMIT bf16 — requesting an
+    # f32 output materialises full f32 feature maps (the convert does not
+    # fuse back into the conv on TPU), which was measured to erase the
+    # entire bandwidth saving of the bf16 engine (same contract as conv2d).
+    kwargs = ({"preferred_element_type": jnp.float32}
+              if x.dtype == jnp.float32 else {})
     y = lax.conv_general_dilated(
         x, w_packed.astype(x.dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs,
     )
     if b_packed is not None:
-        y = y + b_packed.astype(jnp.float32)
+        y = y + b_packed.astype(y.dtype)
     y = y.astype(x.dtype)
     if relu:
         y = jnp.maximum(y, 0)
