@@ -147,7 +147,12 @@ def main():
 
     results = _RESULTS
     mpix = UHD_W * UHD_H / 1e6
-    eng = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True)
+    # slab_rows=4096: at UHD the whole 4096-row image is ONE slab (~10 GiB
+    # peak, fits 16 GB HBM) — measured A/B vs 2048: f32 1.641->1.472 s,
+    # bf16 1.515->1.391 s, and the single-slab program also compiles ~2x
+    # faster. Two-slab streaming remains the fallback for taller images
+    # (the engine re-picks per image height).
+    eng = WCTEngine(mode="16x", slab_rows=4096, packed=True, fused=True)
 
     # ============ PHASE 1: on-device metrics (relay-light) ============
     # Device-SYNTHESIZED pixels: the cascade's cost is shape-dependent, not
@@ -195,7 +200,7 @@ def main():
     # 43.5 dB f32-reordering floor (docs/BENCHMARKS.md round-3 table).
     try:
         out32 = fn(fparams, cd, sd, 1.0)
-        eng16 = WCTEngine(mode="16x", slab_rows=2048, packed=True, fused=True,
+        eng16 = WCTEngine(mode="16x", slab_rows=4096, packed=True, fused=True,
                           dtype=jnp.bfloat16)
         cd16 = cd.astype(jnp.bfloat16)
         sd16 = eng16._fused_style_stats(sdev.astype(jnp.bfloat16),
