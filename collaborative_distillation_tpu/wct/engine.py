@@ -202,8 +202,17 @@ class WCTEngine:
         self.newton_iters = newton_iters
         self.dtype = dtype
         self.stages = tuple(stages)
-        self.pyramid = pyramid if pyramid is not None else load_pyramid(
-            mode, weights_root, stages=self.stages, dtype=dtype)
+        if pyramid is not None:
+            # an externally-built pyramid (e.g. random-init teacher specs)
+            # carries whatever dtype its params were created in; the cascade
+            # requires params == activation dtype (lax.conv rejects mixed)
+            self.pyramid = {
+                k: {**v, "enc": jax.tree.map(lambda a: a.astype(dtype), v["enc"]),
+                    "dec": jax.tree.map(lambda a: a.astype(dtype), v["dec"])}
+                for k, v in pyramid.items()}
+        else:
+            self.pyramid = load_pyramid(
+                mode, weights_root, stages=self.stages, dtype=dtype)
         self.params = {k: {"enc": v["enc"], "dec": v["dec"]} for k, v in self.pyramid.items()}
         from collections import OrderedDict
         self._stage_fns: dict[int, callable] = {}

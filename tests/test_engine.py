@@ -41,6 +41,22 @@ def test_bf16_cascade_close_to_f32(rng):
     assert diff.mean() < 0.05, diff.mean()
 
 
+def test_engine_external_pyramid_cast_to_dtype(rng):
+    """An externally-built (f32) pyramid must be cast to the engine dtype —
+    lax.conv rejects mixed f32-params/bf16-activations (regression: the
+    bench's random-init teacher crashed WCTEngine(dtype=bfloat16))."""
+    stages = (2, 1)
+    eng = WCTEngine(mode="16x", stages=stages, pyramid=_toy_pyramid(stages),
+                    dtype=jnp.bfloat16, slab_rows=32, fused=True)
+    for s in stages:
+        assert all(a.dtype == jnp.bfloat16
+                   for a in jax.tree.leaves(eng.pyramid[s]["enc"]))
+    c = rng.random((64, 48, 3), dtype=np.float32)
+    sty = rng.random((64, 48, 3), dtype=np.float32)
+    out = eng.stylize(c, sty)
+    assert out.shape == c.shape and np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_engine_with_real_weights_all_modes(weights_root, rng):
     """Every shipped mode loads and stylizes a small pair."""
     c = rng.random((48, 64, 3), dtype=np.float32)
