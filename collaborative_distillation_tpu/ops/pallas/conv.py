@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: direct reflect-padded 3x3 conv in the native layout.
+
+Why this exists: XLA lowers the cascade's N=1, huge-spatial convs by
+relaying out each feature map into a batched ``[H, 8, W/8*f, C]`` form and
+back, per conv, and picks exotic feature-map layouts ({3,0,2,1:T(2,128)})
+that force copies between ops. Measured on the v5e (differenced fori_loop,
+r3): every packed UHD conv runs at ~43 TFLOP/s — 22% of the bf16 MXU peak —
+while touching HBM at only ~76 GB/s, i.e. neither compute- nor bandwidth-
+bound, just layout-copy-bound. This kernel computes the conv directly in
+the native (H, W, C) layout as 9 shifted (BH*W, Cin) @ (Cin, Cout) MXU dots
+per row-block and runs at the MXU floor (measured 162 TFLOP/s-equivalent;
+9.6 ms vs XLA's 35.2 ms at the full-res lane-dense UHD shape).
+
+It is also PADLESS: the reflect/packed padding the XLA path materialises
+(three chained full-map pads cost ~15 ms at UHD — twice the kernel itself)
+is replaced by (a) H-halo handling in the DMA source offsets (edge blocks
+re-read the reflected row) and (b) a tiny precomputed (H+2, 16, C) pad-
+column array composed into the VMEM window. HBM traffic is exactly one
+read of the input map and one write of the output.
+
+Scope: square 3x3, stride 1, single image, Cin/Cout <= 128 (one lane tile —
+covers every conv the width-packed student pipeline produces: the packing
+plan keeps the hot maps lane-dense at 128 and the transition layers at
+12/24/64/96). Anything else falls back to XLA (ops/packed.py:packed_conv3x3).
+
+Reference parity: same math as the reference's ReflectionPad2d+Conv2d(3x3)
+blocks (model/model_original.py:434-450) in packed space; equivalence vs
+the XLA path is pinned in tests/test_pallas_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3_lane128", "make_pad_columns", "pick_block_h", "supported"]
+
+_LANES = 128
+_EDGE = 16  # window column where the interior starts; also the pad-array W
+# VMEM budget for the block-size chooser. The chip has ~16 MB/core of VMEM;
+# Mosaic's measured stack overhead on top of the declared buffers is ~2.7 MB
+# at the UHD width, and the ~13.5 MB bh=4 config compiles and runs at the
+# MXU floor while a second shift buffer (+2 MB) tipped it over the 16 MB
+# scoped-VMEM limit.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _lanes(c: int) -> int:
+    """VMEM footprint rounds the minor dim up to the 128-lane tile."""
+    return -(-c // _LANES) * _LANES
+
+
+def _vmem_estimate(bh: int, wp: int, cin: int, cout: int,
+                   in_itemsize: int, out_itemsize: int) -> int:
+    li, lo = _lanes(cin), _lanes(cout)
+    win = 2 * (bh + 2) * (wp + 2 * _EDGE) * li * in_itemsize
+    stage = 2 * (bh + 2) * _EDGE * li * in_itemsize
+    shift = (bh + 2) * wp * li * in_itemsize
+    acc = bh * wp * lo * 4
+    out = 2 * bh * wp * lo * out_itemsize
+    w = 9 * li * lo * in_itemsize
+    return win + stage + shift + acc + out + w
+
+
+def pick_block_h(h: int, wp: int, cin: int, cout: int,
+                 in_itemsize: int, out_itemsize: int) -> int | None:
+    """Largest row-block in {16, 8, 4, 2, 1} that divides ``h`` and fits the
+    VMEM budget; None when even 1 row does not fit (W too large)."""
+    for bh in (16, 8, 4, 2, 1):
+        if h % bh == 0 and _vmem_estimate(
+                bh, wp, cin, cout, in_itemsize, out_itemsize) <= _VMEM_BUDGET:
+            return bh
+    return None
+
+
+def supported(h: int, wp: int, cin: int, cout: int, itemsize: int) -> int | None:
+    """Return the row-block size when the kernel handles this shape, else
+    None. Requirements: channels within one lane tile, W a multiple of the
+    sublane tile (the aligned center-tap view and the DMA destination need
+    it), enough rows for the reflect halo, and a VMEM-feasible block."""
+    sub = 8 if itemsize == 4 else 16
+    if cin > _LANES or cout > _LANES or wp % sub or wp < 4 or h < 2:
+        return None
+    return pick_block_h(h, wp, cin, cout, itemsize, itemsize)
+
+
+def make_pad_columns(x: jax.Array, f: int) -> jax.Array:
+    """(H, W, C) map -> (H+2, 16, C) pad-column array: col 0 = the packed-
+    reflect LEFT pad column, col 1 = RIGHT, rows H-reflect-padded.
+
+    Mirrors ops/packed.py:_reflect_pad_w_packed: for f > 1 only one phase
+    block of each pad column is ever read by the taps (left: phase f-1 <-
+    interior col 0 phase 1; right: phase 0 <- interior col W-1 phase f-2);
+    for f == 1 the pads are the plain reflection columns. O(H) work — the
+    whole point is that no full-map pad is ever materialised.
+    """
+    h, wp, fc = x.shape
+    if f == 1:
+        lp = x[:, 1:2, :]
+        rp = x[:, wp - 2:wp - 1, :]
+    else:
+        c = fc // f
+        lp = jnp.zeros((h, 1, fc), x.dtype)
+        lp = lp.at[:, :, (f - 1) * c:].set(x[:, 0:1, c:2 * c])
+        rp = jnp.zeros((h, 1, fc), x.dtype)
+        rp = rp.at[:, :, :c].set(x[:, wp - 1:wp, (f - 2) * c:(f - 1) * c])
+    plr = jnp.concatenate([lp, rp], axis=1)                      # (H, 2, C)
+    plr = jnp.concatenate([plr[1:2], plr, plr[h - 2:h - 1]], axis=0)
+    return jnp.pad(plr, ((0, 0), (0, _EDGE - 2), (0, 0)))
+
+
+def _conv_kernel(x_hbm, plr_hbm, w_ref, b_ref, o_ref, xwin, pstage, xs,
+                 sems, *, bh: int, wp: int, h: int, relu: bool):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    cout = o_ref.shape[-1]
+
+    def dmas(slot, blk):
+        # padded rows [blk*bh, blk*bh + bh + 2): core rows + 1-row reflect
+        # halos (edge blocks re-read the mirrored interior row), plus the
+        # pad-column rows for the same padded range.
+        top = jnp.where(blk == 0, 1, blk * bh - 1)
+        bot = jnp.where(blk == nb - 1, h - 2, blk * bh + bh)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(blk * bh, bh)],
+                xwin.at[slot, pl.ds(1, bh), pl.ds(_EDGE, wp)],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(top, 1)],
+                xwin.at[slot, pl.ds(0, 1), pl.ds(_EDGE, wp)],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(bot, 1)],
+                xwin.at[slot, pl.ds(bh + 1, 1), pl.ds(_EDGE, wp)],
+                sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                plr_hbm.at[pl.ds(blk * bh, bh + 2)],
+                pstage.at[slot],
+                sems.at[slot, 3]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for d in dmas((i + 1) % 2, i + 1):
+            d.start()
+
+    slot = i % 2
+    for d in dmas(slot, i):
+        d.wait()
+
+    # compose the pad columns flush against the interior: left at _EDGE-1,
+    # right at _EDGE+wp (single-column VPU stores — small)
+    xwin[slot, :, _EDGE - 1:_EDGE, :] = pstage[slot, :, 0:1, :]
+    xwin[slot, :, _EDGE + wp:_EDGE + wp + 1, :] = pstage[slot, :, 1:2, :]
+
+    xb = xwin[slot]  # (bh+2, wp+32, cin)
+    # dx-tap staging. The center tap is sublane-aligned — a free view (its
+    # (bh, wp) -> (bh*wp) merge is a pure relabeling because wp is a
+    # multiple of the sublane tile). dx=+-1 are misaligned sublane shifts:
+    # copy each ONCE into scratch — left as lazy slices, Mosaic re-
+    # materializes the shift per dot (measured 22.7 ms vs 7.8 ms for the
+    # whole conv at the full-res UHD shape). ONE scratch, reused: each
+    # tap's dots complete before the next staging write, and a second
+    # buffer tipped Mosaic's stack over the 16 MB scoped-VMEM limit at
+    # bh=4. DMA-engine shifts are not an option: Mosaic requires DMA
+    # slice offsets to be tile-aligned.
+    cin = xb.shape[-1]
+    acc = jnp.zeros((bh * wp, cout), jnp.float32)
+    for kx in range(3):
+        if kx == 1:
+            v3 = xb[:, _EDGE:_EDGE + wp, :]
+        else:
+            xs[:] = xb[:, _EDGE - 1 + kx:_EDGE - 1 + kx + wp, :]
+            v3 = xs[:]
+        for ky in range(3):
+            v = v3[ky:ky + bh].reshape(bh * wp, cin)
+            acc += jnp.dot(v, w_ref[3 * ky + kx],
+                           preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0]
+    if relu:
+        acc = jnp.maximum(acc, 0)
+    o_ref[:] = acc.reshape(bh, wp, cout).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "block_h", "interpret"))
+def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
+                    b: jax.Array | None, *, relu: bool = True, block_h: int,
+                    interpret: bool = False) -> jax.Array:
+    """Reflect-padded 3x3 conv on an UNPADDED (H, W, Cin) map -> (H, W, Cout).
+
+    ``plr``: the (H+2, 16, Cin) pad-column array from :func:`make_pad_columns`.
+    ``w9``: (9, Cin, Cout) tap-major (ky*3+kx) weights; ``b``: (Cout,) or
+    None. Accumulates in f32 on the MXU, emits ``x.dtype`` (the conv2d
+    contract: bf16 in -> bf16 out with f32 accumulation inside).
+    """
+    h, wp, cin = x.shape
+    _, wcin, cout = w9.shape
+    assert w9.shape[0] == 9 and wcin == cin, (x.shape, w9.shape)
+    assert plr.shape == (h + 2, _EDGE, cin), plr.shape
+    assert h % block_h == 0, (h, block_h)
+    bias = (jnp.zeros((1, cout), jnp.float32) if b is None
+            else b.reshape(1, cout).astype(jnp.float32))
+    kernel = functools.partial(_conv_kernel, bh=block_h, wp=wp, h=h, relu=relu)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // block_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # pad columns, HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # 9 weight tiles
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        ],
+        out_specs=pl.BlockSpec((block_h, wp, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, wp, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_h + 2, wp + 2 * _EDGE, cin), x.dtype),
+            pltpu.VMEM((2, block_h + 2, _EDGE, cin), x.dtype),
+            pltpu.VMEM((block_h + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        name="conv3x3_lane128",
+        interpret=interpret,
+    )(x, plr.astype(x.dtype), w9.astype(x.dtype), bias)
