@@ -30,6 +30,7 @@ from jax import lax
 from ..ops.packed import (
     pack_conv3x3_weights,
     pack_width,
+    packed_conv1x1,
     packed_conv3x3,
     packed_max_pool_2x2,
     packed_upsample_nearest_2x,
@@ -132,13 +133,7 @@ def apply_encoder_packed(packed_params, x: jax.Array, spec: StageSpec):
     x = pack_width(x, f)
     if spec.has_conv0:
         p = packed_params["conv0"]
-        kwargs = ({"preferred_element_type": jnp.float32}
-                  if x.dtype == jnp.float32 else {})
-        y = lax.conv_general_dilated(
-            x, p["w"].astype(x.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs,
-        )
-        x = (y + p["b"].astype(y.dtype)).astype(x.dtype)
+        x = packed_conv1x1(x, p["w"], p["b"])
     for i, ((name, f_in, f_out), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3(x, p["w"], p["b"], f_in, relu=layer.relu)

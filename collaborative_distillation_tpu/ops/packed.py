@@ -35,6 +35,7 @@ __all__ = [
     "pack_width",
     "unpack_width",
     "pack_conv3x3_weights",
+    "packed_conv1x1",
     "packed_conv3x3",
     "packed_max_pool_2x2",
     "packed_upsample_nearest_2x",
@@ -106,6 +107,53 @@ def _reflect_pad_w_packed(x: jax.Array, f: int) -> jax.Array:
     # right pad col, phase 0 <- packed col -1, phase f-2 (original col W-2)
     right = right.at[..., :c].set(x[:, :, -1:, (f - 2) * c:(f - 1) * c])
     return jnp.concatenate([left, x, right], axis=2)
+
+
+def packed_conv1x1(x: jax.Array, w: jax.Array, b: jax.Array | None,
+                   *, relu: bool = False) -> jax.Array:
+    """1x1 conv + bias in packed space: the encoders' kron-packed ``conv0``
+    preprocessing (models/packed_vgg.py:pack_stage_params).
+
+    On TPU this routes to the Pallas per-pixel matmul kernel — XLA runs the
+    1x1 as a convolution in its exotic {3,0,2,1} feature layout, which both
+    costs ~20 ms at full UHD res and forces ~12 ms transpose copies against
+    the Pallas 3x3 calls around it. Same channel-padding contract as
+    :func:`packed_conv3x3`.
+    """
+    n, h, wp, fc = x.shape
+    fco = w.shape[-1]
+    if (n == 1 and fc <= 128 and fco <= 128 and _pallas_conv_enabled()
+            and jax.default_backend() == "tpu"):
+        from .pallas.conv import conv1x1_lane128, pick_block_h_1x1
+        sub = 8 if x.dtype.itemsize == 4 else 16
+        bh = pick_block_h_1x1(h, wp, x.dtype.itemsize) if wp % sub == 0 else None
+        if bh is not None:
+            ci_pad, co_pad = -fc % 128, -fco % 128
+            xk = x[0]
+            wk = w.reshape(fc, fco)
+            bk = b
+            if ci_pad:
+                xk = jnp.pad(xk, ((0, 0), (0, 0), (0, ci_pad)))
+                wk = jnp.pad(wk, ((0, ci_pad), (0, 0)))
+            if co_pad:
+                wk = jnp.pad(wk, ((0, 0), (0, co_pad)))
+                if bk is not None:
+                    bk = jnp.pad(bk, (0, co_pad))
+            y = conv1x1_lane128(xk, wk, bk, relu=relu, block_h=bh)
+            if co_pad:
+                y = y[..., :fco]
+            return y[None]
+    kwargs = ({"preferred_element_type": jnp.float32}
+              if x.dtype == jnp.float32 else {})
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    y = y.astype(x.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
 
 
 def _pallas_conv_enabled() -> bool:

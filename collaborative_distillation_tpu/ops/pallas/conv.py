@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_lane128", "make_pad_columns", "pick_block_h", "supported"]
+__all__ = ["conv1x1_lane128", "conv3x3_lane128", "make_pad_columns",
+           "pick_block_h", "supported"]
 
 _LANES = 128
 _EDGE = 16  # window column where the interior starts; also the pad-array W
@@ -233,3 +234,55 @@ def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
         name="conv3x3_lane128",
         interpret=interpret,
     )(x, plr.astype(x.dtype), w9.astype(x.dtype), bias)
+
+
+def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
+    bh, wp, cin = x_ref.shape
+    y = jnp.dot(x_ref[:].reshape(bh * wp, cin), w_ref[:],
+                preferred_element_type=jnp.float32) + b_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0)
+    o_ref[:] = y.reshape(bh, wp, o_ref.shape[-1]).astype(o_ref.dtype)
+
+
+def pick_block_h_1x1(h: int, wp: int, itemsize: int) -> int | None:
+    """1x1 block picker: 2 pipelined in + 2 out blocks + the f32 staging."""
+    for bh in (16, 8, 4, 2, 1):
+        if h % bh == 0 and bh * wp * _LANES * (4 * itemsize + 4) <= _VMEM_BUDGET:
+            return bh
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "block_h", "interpret"))
+def conv1x1_lane128(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
+                    relu: bool = False, block_h: int,
+                    interpret: bool = False) -> jax.Array:
+    """1x1 conv (pure per-pixel matmul) on a (H, W, 128) map.
+
+    Covers the encoders' packed ``conv0`` preprocessing layer (reference
+    model_original.py conv0, kron-packed in models/packed_vgg.py), which XLA
+    otherwise runs as a convolution in its exotic {3,0,2,1} layout — forcing
+    ~12 ms transpose copies against the Pallas 3x3 calls on either side.
+    Channels must be lane-dense (pad to 128 outside, like packed_conv3x3).
+    """
+    h, wp, cin = x.shape
+    cout = w.shape[-1]
+    assert cin == _LANES and cout == _LANES, (x.shape, w.shape)
+    assert h % block_h == 0, (h, block_h)
+    bias = (jnp.zeros((1, cout), jnp.float32) if b is None
+            else b.reshape(1, cout).astype(jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_conv1x1_kernel, relu=relu),
+        grid=(h // block_h,),
+        in_specs=[
+            pl.BlockSpec((block_h, wp, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_h, wp, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, wp, cout), x.dtype),
+        name="conv1x1_lane128",
+        interpret=interpret,
+    )(x, w.astype(x.dtype), bias)
