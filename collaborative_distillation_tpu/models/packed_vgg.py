@@ -28,9 +28,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.packed import (
+    _pallas_conv_enabled,
     pack_conv3x3_weights,
     pack_width,
-    packed_conv1x1,
     packed_conv3x3,
     packed_max_pool_2x2,
     packed_upsample_nearest_2x,
@@ -101,21 +101,38 @@ def plan_packing(spec: StageSpec) -> list[tuple[str, int, int]]:
 def pack_stage_params(params, spec: StageSpec):
     """Host-side: pack every 3x3 conv's weights per the packing plan.
 
-    conv0 (1x1, encoders) packs as kron(I_f, w). Aux adapters are not packed
-    (they are training-only). Returns a params tree of jnp arrays keyed like
-    the original, plus "__plan__" metadata handled by the apply fns.
+    conv0 (the encoders' 1x1 RGB->BGR x255 - mean preprocessing,
+    model_original.py conv0) is FOLDED into conv1_1: a pointwise affine
+    commutes with reflect padding, so ``conv11(pad(conv0(x)))`` equals a
+    single 3x3 conv with ``W'[ky,kx] = A @ W[ky,kx]`` and
+    ``b' = b11 + sum_taps(W[ky,kx]^T b0)`` — exact, borders included. This
+    removes a full-map op (and, on the Pallas conv route, the 128-lane
+    zero-pad + slice-back around it) per encoder per slab: ~0.13 s of the
+    r3 1.04 s UHD device trace. Aux adapters are not packed (they are
+    training-only). Returns a params tree of jnp arrays keyed like the
+    original (no "conv0" entry — the apply fns skip it).
     """
     plan = plan_packing(spec)
     packed = {}
+    fold_w = fold_b = None
     if spec.has_conv0:
-        w = np.asarray(params["conv0"]["w"])[0, 0]  # (3, 3) in->out
-        b = np.asarray(params["conv0"]["b"])
-        f0 = plan[0][1]
-        wk = np.kron(np.eye(f0, dtype=w.dtype), w)
-        packed["conv0"] = {"w": jnp.asarray(wk[None, None]), "b": jnp.asarray(np.tile(b, f0))}
+        fold_w = np.asarray(params["conv0"]["w"])[0, 0]  # (3 in, 3 out)
+        fold_b = np.asarray(params["conv0"]["b"])
     for (name, f_in, _f_out), layer in zip(plan, spec.layers):
         w = np.asarray(params[layer.name]["w"])
         b = np.asarray(params[layer.name]["b"])
+        if fold_w is not None:
+            # y = sum_t W_t (A x_t + b0) + b  ==  sum_t (A@W_t) x_t
+            #     + (b + sum_t W_t^T b0)   [HWIO taps W_t = w[ky,kx]]
+            # compose in f32 (np.einsum rejects bfloat16), round once back
+            wd, bd = w.dtype, b.dtype
+            w32 = w.astype(np.float32)
+            b = (b.astype(np.float32)
+                 + np.einsum("hwio,i->o", w32, fold_b.astype(np.float32))
+                 ).astype(bd)
+            w = np.einsum("ji,hwio->hwjo", fold_w.astype(np.float32),
+                          w32).astype(wd)
+            fold_w = fold_b = None
         wp, bp = pack_conv3x3_weights(w, b, f_in)
         packed[name] = {"w": jnp.asarray(wp), "b": jnp.asarray(bp)}
     return packed
@@ -131,9 +148,7 @@ def apply_encoder_packed(packed_params, x: jax.Array, spec: StageSpec):
     plan = plan_packing(spec)
     f = plan[0][1]
     x = pack_width(x, f)
-    if spec.has_conv0:
-        p = packed_params["conv0"]
-        x = packed_conv1x1(x, p["w"], p["b"])
+    # conv0 is folded into conv1_1 by pack_stage_params — no 1x1 layer here
     for i, ((name, f_in, f_out), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3(x, p["w"], p["b"], f_in, relu=layer.relu)
@@ -217,6 +232,25 @@ def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
     if f > 1:
         m = jnp.kron(jnp.eye(f, dtype=m.dtype), m)
         beta = jnp.tile(beta, f)
+    fc = f * c
+    if (xp.ndim == 4 and xp.shape[0] == 1 and fc == 128
+            and jax.default_backend() == "tpu" and _pallas_conv_enabled()):
+        # lane-dense maps route to the Pallas per-pixel matmul: XLA lowers
+        # the 1x1 conv in its exotic {3,0,2,1} feature layout, which both
+        # costs ~8 ms per full-map apply at UHD slab scale and forces
+        # relayout copies against the Pallas conv3x3 calls around it (r3
+        # trace: 42 ms of conv + the copies across the 5 stages). M/beta
+        # are formed in f32 above; the kernel accumulates f32 on the MXU
+        # and emits xp.dtype — same contract as the XLA branches below.
+        from ..ops.pallas.conv import conv1x1_lane128, pick_block_h_1x1
+        sub = 8 if dtype == jnp.float32 else 16
+        h, wp = xp.shape[1], xp.shape[2]
+        bh = pick_block_h_1x1(h, wp, dtype.itemsize) if wp % sub == 0 else None
+        if bh is not None:
+            y = conv1x1_lane128(
+                xp[0], m.astype(dtype) if dtype != jnp.float32 else m,
+                beta, relu=False, block_h=bh)
+            return y[None].reshape(shape).astype(dtype)
     if dtype == jnp.float32:
         # exact path: HIGHEST-precision GEMM, f32 accumulation
         y = lax.conv_general_dilated(

@@ -192,8 +192,9 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
     if (n == 1 and _pallas_conv_enabled()
             and jax.default_backend() == "tpu"):
         from .pallas.conv import conv3x3_lane128, make_pad_columns, supported
-        bh = supported(h, wp, fc, fco, x.dtype.itemsize)
-        if bh is not None:
+        plan = supported(h, wp, fc, fco, x.dtype.itemsize)
+        if plan is not None:
+            bh, staged = plan
             # Mosaic requires sliced-DMA lane dims to be whole 128-lane
             # tiles, so sub-dense transition maps (12/24/64/96 channels)
             # are zero-padded to 128 around the kernel. The pad/slice
@@ -212,7 +213,8 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
                 w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, co_pad)))
                 if bk is not None:
                     bk = jnp.pad(bk, (0, co_pad))
-            y = conv3x3_lane128(xk, plr, w9, bk, relu=relu, block_h=bh)
+            y = conv3x3_lane128(xk, plr, w9, bk, relu=relu, block_h=bh,
+                                staged=staged)
             if co_pad:
                 y = y[..., :fco]
             return y[None]

@@ -57,11 +57,12 @@ def _lanes(c: int) -> int:
 
 
 def _vmem_estimate(bh: int, wp: int, cin: int, cout: int,
-                   in_itemsize: int, out_itemsize: int) -> int:
+                   in_itemsize: int, out_itemsize: int,
+                   staged: bool = True) -> int:
     li, lo = _lanes(cin), _lanes(cout)
     win = 2 * (bh + 2) * (wp + 2 * _EDGE) * li * in_itemsize
     stage = 2 * (bh + 2) * _EDGE * li * in_itemsize
-    shift = (bh + 2) * wp * li * in_itemsize
+    shift = (bh + 2) * wp * li * in_itemsize if staged else 0
     acc = bh * wp * lo * 4
     out = 2 * bh * wp * lo * out_itemsize
     w = 9 * li * lo * in_itemsize
@@ -69,25 +70,42 @@ def _vmem_estimate(bh: int, wp: int, cin: int, cout: int,
 
 
 def pick_block_h(h: int, wp: int, cin: int, cout: int,
-                 in_itemsize: int, out_itemsize: int) -> int | None:
+                 in_itemsize: int, out_itemsize: int,
+                 staged: bool = True) -> int | None:
     """Largest row-block in {16, 8, 4, 2, 1} that divides ``h`` and fits the
     VMEM budget; None when even 1 row does not fit (W too large)."""
     for bh in (16, 8, 4, 2, 1):
         if h % bh == 0 and _vmem_estimate(
-                bh, wp, cin, cout, in_itemsize, out_itemsize) <= _VMEM_BUDGET:
+                bh, wp, cin, cout, in_itemsize, out_itemsize,
+                staged) <= _VMEM_BUDGET:
             return bh
     return None
 
 
-def supported(h: int, wp: int, cin: int, cout: int, itemsize: int) -> int | None:
-    """Return the row-block size when the kernel handles this shape, else
-    None. Requirements: channels within one lane tile, W a multiple of the
-    sublane tile (the aligned center-tap view and the DMA destination need
-    it), enough rows for the reflect halo, and a VMEM-feasible block."""
+def supported(h: int, wp: int, cin: int, cout: int,
+              itemsize: int) -> tuple[int, bool] | None:
+    """Return ``(row_block, staged)`` when the kernel handles this shape,
+    else None. Requirements: channels within one lane tile, W a multiple of
+    the sublane tile (the aligned center-tap view and the DMA destination
+    need it), enough rows for the reflect halo, and a VMEM-feasible block.
+
+    ``staged=True`` (preferred) copies the misaligned +-1 column taps into a
+    shift scratch once per block (measured 7.8 vs 22.7 ms at the full-res
+    UHD shape). When that scratch does not fit — f32 at wp=2560, the
+    full-res stage-1 maps — the LAZY variant drops it and re-materializes
+    the shifts per dot: slower than staged, but still well ahead of the
+    XLA fallback conv (45 ms + pad/relayout plumbing at that shape, r3
+    trace)."""
     sub = 8 if itemsize == 4 else 16
     if cin > _LANES or cout > _LANES or wp % sub or wp < 4 or h < 2:
         return None
-    return pick_block_h(h, wp, cin, cout, itemsize, itemsize)
+    bh = pick_block_h(h, wp, cin, cout, itemsize, itemsize, staged=True)
+    if bh is not None:
+        return bh, True
+    bh = pick_block_h(h, wp, cin, cout, itemsize, itemsize, staged=False)
+    if bh is not None:
+        return bh, False
+    return None
 
 
 def make_pad_columns(x: jax.Array, f: int) -> jax.Array:
@@ -115,8 +133,12 @@ def make_pad_columns(x: jax.Array, f: int) -> jax.Array:
     return jnp.pad(plr, ((0, 0), (0, _EDGE - 2), (0, 0)))
 
 
-def _conv_kernel(x_hbm, plr_hbm, w_ref, b_ref, o_ref, xwin, pstage, xs,
-                 sems, *, bh: int, wp: int, h: int, relu: bool):
+def _conv_kernel(x_hbm, plr_hbm, w_ref, b_ref, o_ref, xwin, pstage, *scratch,
+                 bh: int, wp: int, h: int, relu: bool, staged: bool):
+    if staged:
+        xs, sems = scratch
+    else:
+        xs, (sems,) = None, scratch
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     cout = o_ref.shape[-1]
@@ -181,9 +203,13 @@ def _conv_kernel(x_hbm, plr_hbm, w_ref, b_ref, o_ref, xwin, pstage, xs,
     for kx in range(3):
         if kx == 1:
             v3 = xb[:, _EDGE:_EDGE + wp, :]
-        else:
+        elif staged:
             xs[:] = xb[:, _EDGE - 1 + kx:_EDGE - 1 + kx + wp, :]
             v3 = xs[:]
+        else:
+            # lazy slice: Mosaic re-materializes the sublane shift per dot
+            # (VMEM-tight shapes only — see supported())
+            v3 = xb[:, _EDGE - 1 + kx:_EDGE - 1 + kx + wp, :]
         for ky in range(3):
             v = v3[ky:ky + bh].reshape(bh * wp, cin)
             acc += jnp.dot(v, w_ref[3 * ky + kx],
@@ -194,10 +220,11 @@ def _conv_kernel(x_hbm, plr_hbm, w_ref, b_ref, o_ref, xwin, pstage, xs,
     o_ref[:] = acc.reshape(bh, wp, cout).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "block_h", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("relu", "block_h", "staged", "interpret"))
 def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
                     b: jax.Array | None, *, relu: bool = True, block_h: int,
-                    interpret: bool = False) -> jax.Array:
+                    staged: bool = True, interpret: bool = False) -> jax.Array:
     """Reflect-padded 3x3 conv on an UNPADDED (H, W, Cin) map -> (H, W, Cout).
 
     ``plr``: the (H+2, 16, Cin) pad-column array from :func:`make_pad_columns`.
@@ -212,7 +239,15 @@ def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
     assert h % block_h == 0, (h, block_h)
     bias = (jnp.zeros((1, cout), jnp.float32) if b is None
             else b.reshape(1, cout).astype(jnp.float32))
-    kernel = functools.partial(_conv_kernel, bh=block_h, wp=wp, h=h, relu=relu)
+    kernel = functools.partial(_conv_kernel, bh=block_h, wp=wp, h=h,
+                               relu=relu, staged=staged)
+    scratch = [
+        pltpu.VMEM((2, block_h + 2, wp + 2 * _EDGE, cin), x.dtype),
+        pltpu.VMEM((2, block_h + 2, _EDGE, cin), x.dtype),
+    ]
+    if staged:
+        scratch.append(pltpu.VMEM((block_h + 2, wp, cin), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
     return pl.pallas_call(
         kernel,
         grid=(h // block_h,),
@@ -225,12 +260,7 @@ def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
         out_specs=pl.BlockSpec((block_h, wp, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, wp, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_h + 2, wp + 2 * _EDGE, cin), x.dtype),
-            pltpu.VMEM((2, block_h + 2, _EDGE, cin), x.dtype),
-            pltpu.VMEM((block_h + 2, wp, cin), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
+        scratch_shapes=scratch,
         name="conv3x3_lane128",
         interpret=interpret,
     )(x, plr.astype(x.dtype), w9.astype(x.dtype), bias)
@@ -238,7 +268,14 @@ def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
 
 def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
     bh, wp, cin = x_ref.shape
-    y = jnp.dot(x_ref[:].reshape(bh * wp, cin), w_ref[:],
+    # f32 inputs: HIGHEST — the 1x1 is HBM-bound (85 GFLOP vs a ~6 ms map
+    # read at the largest cascade shape), so the extra MXU passes are free
+    # and the WCT-apply keeps the exact-GEMM contract of the XLA path it
+    # replaced (models/packed_vgg.py:packed_wct_apply; default-precision
+    # A/B measured 2e-3 relative error). bf16 inputs keep the bf16 pass.
+    prec = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jnp.dot(x_ref[:].reshape(bh * wp, cin), w_ref[:], precision=prec,
                 preferred_element_type=jnp.float32) + b_ref[0]
     if relu:
         y = jnp.maximum(y, 0)

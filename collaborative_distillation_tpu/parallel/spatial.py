@@ -225,16 +225,13 @@ def packed_conv3x3_halo(x, w_packed, b_packed, f: int, axis_name: str,
 def apply_encoder_spatial_packed(packed_params, x, spec, axis_name: str):
     """Row-sharded + width-packed encoder: returns (packed feature, f)."""
     from ..models.packed_vgg import plan_packing
-    from ..ops.conv import conv1x1
     from ..ops.packed import pack_width, packed_max_pool_2x2, repack
 
     assert spec.kind == "encoder"
     plan = plan_packing(spec)
     f = plan[0][1]
     x = pack_width(x, f)
-    if spec.has_conv0:
-        p = packed_params["conv0"]
-        x = conv1x1(x, p["w"], p["b"])
+    # conv0 is folded into conv1_1 by pack_stage_params — no 1x1 layer here
     for i, ((name, f_in, f_out), layer) in enumerate(zip(plan, spec.layers)):
         p = packed_params[name]
         x = packed_conv3x3_halo(x, p["w"], p["b"], f_in, axis_name, relu=layer.relu)

@@ -82,11 +82,15 @@ def _stats_from_feats(feats, f, c, offset_f, interior_f):
     """(sum(C), gram(C,C), n_pixels) over the interior feature rows of a
     (possibly width-packed) feature slab. On TPU with lane-dense widths the
     single-pass fused Pallas sum+gram kernel applies (measured 1.58x the XLA
-    two-reduction at P=10.5M, C=128; HIGHEST-precision gram either way)."""
+    two-reduction at P=10.5M, C=128; HIGHEST-precision gram either way).
+    Sub-dense widths (e.g. stage-1's 96 lanes) use it too: in-graph, XLA
+    lowers the (P,C)^T(P,C) gram as a convolution whose two operand layouts
+    disagree, paying a full-map relayout copy before the reduction (r3
+    trace: 33+14 ms at stage-1 UHD vs ~18 ms for the Pallas pass)."""
     inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
     n_px = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
     x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
-    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+    if jax.default_backend() == "tpu" and x.shape[-1] % 8 == 0:
         from ..ops.pallas.stats import fused_sum_gram
         s, gram = fused_sum_gram(x)
     else:
@@ -178,7 +182,7 @@ def _slab_stats_packed(enc_packed, slab_ext, offset_f, spec: StageSpec,
     inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
     p_eff = inner.shape[0] * inner.shape[1] * inner.shape[2] * f
     x = inner.reshape(-1, inner.shape[-1]).astype(jnp.float32)
-    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+    if jax.default_backend() == "tpu" and x.shape[-1] % 8 == 0:
         # single-pass fused sum+gram Pallas kernel (1.4x XLA, measured)
         from ..ops.pallas.stats import fused_sum_gram
         s, gram = fused_sum_gram(x)

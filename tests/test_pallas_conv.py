@@ -64,12 +64,19 @@ def test_matches_xla_packed_conv(case, relu, rng):
     wp_, bp = pack_conv3x3_weights(w, b, f)
     ref = _xla_packed_conv(x, wp_, bp, f, relu)
 
-    bh = supported(h, wp, f * ci, f * co, 4)
-    assert bh is not None
+    plan = supported(h, wp, f * ci, f * co, 4)
+    assert plan is not None
+    bh, staged = plan
     got = conv3x3_lane128(
         x[0], make_pad_columns(x[0], f),
         jnp.asarray(wp_).reshape(9, f * ci, f * co), jnp.asarray(bp),
-        relu=relu, block_h=bh, interpret=True)
+        relu=relu, block_h=bh, staged=staged, interpret=True)
+    # the lazy (VMEM-tight) variant must compute the same conv
+    got_lazy = conv3x3_lane128(
+        x[0], make_pad_columns(x[0], f),
+        jnp.asarray(wp_).reshape(9, f * ci, f * co), jnp.asarray(bp),
+        relu=relu, block_h=bh, staged=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got_lazy))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref[0]),
                                atol=2e-4, rtol=2e-4)
 
@@ -83,7 +90,13 @@ def test_routing_gate():
     assert supported(4096, 1282, 128, 128, 2) is None      # W % 16 (bf16)
     assert supported(1, 1280, 128, 128, 4) is None         # no reflect row
     # odd H still routes via bh=1
-    assert supported(4097, 1280, 128, 128, 4) == 1
+    assert supported(4097, 1280, 128, 128, 4) == (1, True)
+    # f32 at the full-res stage-1 width: the shift scratch does not fit,
+    # the LAZY variant must take it instead of falling back to XLA
+    assert supported(4096, 2560, 12, 96, 4) == (1, False)
+    assert supported(4096, 2560, 128, 128, 4) == (1, False)
+    # bf16 halves the window: staged fits at wp=2560
+    assert supported(4096, 2560, 128, 128, 2)[1] is True
 
 
 def test_block_picker_respects_vmem():
@@ -104,3 +117,32 @@ def test_pad_columns_match_packed_reflect(rng):
                                       np.asarray(full[:, 0, :]))
         np.testing.assert_array_equal(np.asarray(plr[:, 1, :]),
                                       np.asarray(full[:, -1, :]))
+
+
+def test_wct_apply_pallas_route_matches_xla(rng):
+    """packed_wct_apply's Pallas 1x1 route (TPU-gated in production) must
+    equal its XLA branch. The kernel is driven in interpret mode with the
+    exact (M, beta) affine the function folds; the XLA branch is the CPU
+    result of packed_wct_apply itself."""
+    from collaborative_distillation_tpu.models.packed_vgg import packed_wct_apply
+    from collaborative_distillation_tpu.ops.pallas.conv import (
+        conv1x1_lane128, pick_block_h_1x1)
+
+    f, c = 4, 32
+    xp = jnp.asarray(rng.standard_normal((1, 16, 32, f * c)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((c, c)), jnp.float32) * 0.3
+    cm = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    sm = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    alpha = 0.8
+    ref = packed_wct_apply(xp, f, c, t, cm, sm, alpha)  # XLA branch (CPU)
+
+    a = jnp.float32(alpha)
+    m = a * t.T + (1 - a) * jnp.eye(c)
+    beta = a * (sm - cm @ t.T)
+    m = jnp.kron(jnp.eye(f), m)
+    beta = jnp.tile(beta, f)
+    bh = pick_block_h_1x1(16, 32, 4)
+    got = conv1x1_lane128(xp[0], m, beta, relu=False, block_h=bh,
+                          interpret=True)[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
