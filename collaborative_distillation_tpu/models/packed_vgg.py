@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.packed import (
-    _pallas_conv_enabled,
     pack_conv3x3_weights,
     pack_width,
     packed_conv3x3,
@@ -233,8 +232,7 @@ def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
         m = jnp.kron(jnp.eye(f, dtype=m.dtype), m)
         beta = jnp.tile(beta, f)
     fc = f * c
-    if (xp.ndim == 4 and xp.shape[0] == 1 and fc == 128
-            and jax.default_backend() == "tpu" and _pallas_conv_enabled()):
+    if xp.ndim == 4 and fc == 128:
         # lane-dense maps route to the Pallas per-pixel matmul: XLA lowers
         # the 1x1 conv in its exotic {3,0,2,1} feature layout, which both
         # costs ~8 ms per full-map apply at UHD slab scale and forces
@@ -242,15 +240,14 @@ def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
         # trace: 42 ms of conv + the copies across the 5 stages). M/beta
         # are formed in f32 above; the kernel accumulates f32 on the MXU
         # and emits xp.dtype — same contract as the XLA branches below.
-        from ..ops.pallas.conv import conv1x1_lane128, pick_block_h_1x1
-        sub = 8 if dtype == jnp.float32 else 16
-        h, wp = xp.shape[1], xp.shape[2]
-        bh = pick_block_h_1x1(h, wp, dtype.itemsize) if wp % sub == 0 else None
-        if bh is not None:
-            y = conv1x1_lane128(
-                xp[0], m.astype(dtype) if dtype != jnp.float32 else m,
-                beta, relu=False, block_h=bh)
-            return y[None].reshape(shape).astype(dtype)
+        # Routing (gates, VMEM block pick, compile probe) is the shared
+        # try_conv1x1_pallas; None means "use the XLA branches below".
+        from ..ops.pallas.conv import try_conv1x1_pallas
+        y = try_conv1x1_pallas(
+            xp, m.astype(dtype) if dtype != jnp.float32 else m,
+            beta, relu=False)
+        if y is not None:
+            return y.reshape(shape).astype(dtype)
     if dtype == jnp.float32:
         # exact path: HIGHEST-precision GEMM, f32 accumulation
         y = lax.conv_general_dilated(

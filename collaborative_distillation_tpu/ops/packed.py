@@ -120,29 +120,12 @@ def packed_conv1x1(x: jax.Array, w: jax.Array, b: jax.Array | None,
     the Pallas 3x3 calls around it. Same channel-padding contract as
     :func:`packed_conv3x3`.
     """
-    n, h, wp, fc = x.shape
+    fc = x.shape[-1]
     fco = w.shape[-1]
-    if (n == 1 and fc <= 128 and fco <= 128 and _pallas_conv_enabled()
-            and jax.default_backend() == "tpu"):
-        from .pallas.conv import conv1x1_lane128, pick_block_h_1x1
-        sub = 8 if x.dtype.itemsize == 4 else 16
-        bh = pick_block_h_1x1(h, wp, x.dtype.itemsize) if wp % sub == 0 else None
-        if bh is not None:
-            ci_pad, co_pad = -fc % 128, -fco % 128
-            xk = x[0]
-            wk = w.reshape(fc, fco)
-            bk = b
-            if ci_pad:
-                xk = jnp.pad(xk, ((0, 0), (0, 0), (0, ci_pad)))
-                wk = jnp.pad(wk, ((0, ci_pad), (0, 0)))
-            if co_pad:
-                wk = jnp.pad(wk, ((0, 0), (0, co_pad)))
-                if bk is not None:
-                    bk = jnp.pad(bk, (0, co_pad))
-            y = conv1x1_lane128(xk, wk, bk, relu=relu, block_h=bh)
-            if co_pad:
-                y = y[..., :fco]
-            return y[None]
+    from .pallas.conv import try_conv1x1_pallas
+    y = try_conv1x1_pallas(x, w.reshape(fc, fco), b, relu=relu)
+    if y is not None:
+        return y
     kwargs = ({"preferred_element_type": jnp.float32}
               if x.dtype == jnp.float32 else {})
     y = lax.conv_general_dilated(
@@ -157,10 +140,11 @@ def packed_conv1x1(x: jax.Array, w: jax.Array, b: jax.Array | None,
 
 
 def _pallas_conv_enabled() -> bool:
-    """CD_TPU_PALLAS_CONV env knob; default ON (set "0"/"off" to force the
-    XLA conv lowering everywhere)."""
-    return os.environ.get("CD_TPU_PALLAS_CONV", "1").strip().lower() not in (
-        "0", "off", "false")
+    """Back-compat alias for ops.pallas.conv.pallas_conv_enabled (the master
+    gate now also honors CD_TPU_PALLAS and the engine's runtime kill
+    switch)."""
+    from .pallas.conv import pallas_conv_enabled
+    return pallas_conv_enabled()
 
 
 def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None,
@@ -191,10 +175,22 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
     fco = w_packed.shape[-1]
     if (n == 1 and _pallas_conv_enabled()
             and jax.default_backend() == "tpu"):
-        from .pallas.conv import conv3x3_lane128, make_pad_columns, supported
+        from .pallas.conv import (_LANES, conv3x3_lane128, kernel_compiles,
+                                  make_pad_columns, supported)
         plan = supported(h, wp, fc, fco, x.dtype.itemsize)
         if plan is not None:
             bh, staged = plan
+            li = -(-fc // _LANES) * _LANES
+            lo = -(-fco // _LANES) * _LANES
+            if not kernel_compiles(
+                    conv3x3_lane128,
+                    (jax.ShapeDtypeStruct((h, wp, li), x.dtype),
+                     jax.ShapeDtypeStruct((h + 2, 16, li), x.dtype),
+                     jax.ShapeDtypeStruct((9, li, lo), x.dtype),
+                     jax.ShapeDtypeStruct((lo,), x.dtype)),
+                    relu=relu, block_h=bh, staged=staged):
+                plan = None
+        if plan is not None:
             # Mosaic requires sliced-DMA lane dims to be whole 128-lane
             # tiles, so sub-dense transition maps (12/24/64/96 channels)
             # are zero-padded to 128 around the kernel. The pad/slice

@@ -31,6 +31,8 @@ the XLA path is pinned in tests/test_pallas_conv.py.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["conv1x1_lane128", "conv3x3_lane128", "make_pad_columns",
-           "pick_block_h", "supported"]
+           "pick_block_h", "pick_block_h_1x1", "supported",
+           "pallas_conv_enabled", "disable_pallas_conv", "kernel_compiles",
+           "try_conv1x1_pallas"]
 
 _LANES = 128
 _EDGE = 16  # window column where the interior starts; also the pad-array W
@@ -54,6 +58,85 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 def _lanes(c: int) -> int:
     """VMEM footprint rounds the minor dim up to the 128-lane tile."""
     return -(-c // _LANES) * _LANES
+
+
+_FORCE_OFF = False  # runtime kill switch (engine degradation ladder)
+
+
+def pallas_conv_enabled() -> bool:
+    """Master gate for every Pallas conv route.
+
+    OFF when (a) `disable_pallas_conv()` was called (the engine's
+    degradation ladder flips it after a compiler/runtime failure so the
+    rebuilt programs cannot contain the failed kernel), or (b) the
+    `CD_TPU_PALLAS_CONV` / `CD_TPU_PALLAS` env knobs say so (user kill
+    switch, checked per call so tests/serving can flip it live)."""
+    if _FORCE_OFF:
+        return False
+    for var in ("CD_TPU_PALLAS_CONV", "CD_TPU_PALLAS"):
+        if os.environ.get(var, "1").strip().lower() in ("0", "off", "false"):
+            return False
+    return True
+
+
+def disable_pallas_conv(reason: str = "") -> None:
+    """Permanently (for this process) route every conv to the XLA lowering.
+
+    Called by the WCT engine's fallback ladder: a Pallas kernel that failed
+    to compile/execute once would fail again identically inside the rebuilt
+    per-stage programs, so the ladder must step to a configuration that
+    cannot contain it."""
+    global _FORCE_OFF
+    if not _FORCE_OFF:
+        _FORCE_OFF = True
+        warnings.warn(
+            f"Pallas conv kernels disabled for this process"
+            f"{': ' + reason if reason else ''}; using XLA conv lowering",
+            RuntimeWarning)
+
+
+_PROBE_CACHE: dict = {}
+
+
+def kernel_compiles(jitted, arg_shapes, **statics) -> bool:
+    """AOT compile probe: does this Pallas kernel actually lower + compile
+    for these shapes on the real backend?
+
+    Why it exists (round-3 postmortem, BENCH_r03): the block pickers model
+    Mosaic's VMEM stack analytically, and an under-estimate surfaces only as
+    a scoped-VMEM OOM at *outer-program* compile time — crashing the whole
+    fused cascade for a kernel that has a perfectly good XLA fallback. The
+    probe compiles the standalone kernel once per distinct shape (cached for
+    the process; the persistent compilation cache makes repeats cheap across
+    processes) BEFORE the router commits to it; a failure routes that shape
+    to XLA instead of poisoning the enclosing program.
+
+    ``arg_shapes``: jax.ShapeDtypeStruct per positional arg. Probing is
+    skipped (returns True) off-TPU and under CD_TPU_PALLAS_PROBE=0 — the
+    interpret-mode CPU tests never hit Mosaic."""
+    if jax.default_backend() != "tpu":
+        return True
+    if os.environ.get("CD_TPU_PALLAS_PROBE", "1").strip().lower() in (
+            "0", "off", "false"):
+        return True
+    key = (getattr(jitted, "__name__", str(jitted)),
+           tuple((tuple(a.shape), str(a.dtype)) for a in arg_shapes),
+           tuple(sorted(statics.items())))
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        jitted.lower(*arg_shapes, **statics).compile()
+        ok = True
+    except Exception as e:  # noqa: BLE001 — any lowering failure means "use XLA"
+        warnings.warn(
+            f"Pallas kernel {key[0]} failed to compile at "
+            f"{[tuple(a.shape) for a in arg_shapes]} "
+            f"({type(e).__name__}: {str(e)[:300]}); routing this shape to "
+            f"the XLA conv path", RuntimeWarning)
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
 
 
 def _vmem_estimate(bh: int, wp: int, cin: int, cout: int,
@@ -282,10 +365,35 @@ def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
     o_ref[:] = y.reshape(bh, wp, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
+def _vmem_estimate_1x1(bh: int, wp: int, itemsize: int) -> int:
+    """Mosaic VMEM model for the 1x1 kernel, calibrated against the one
+    measured compiler data point we have (BENCH_r03's scoped-VMEM OOM):
+    bh=4, wp=1280, f32 -> "18.45M" actual Mosaic stack = 19.35 MB (XLA's
+    HumanReadableNumBytes "M" is MiB; the "16.00M" limit is the 16 MiB
+    scoped-VMEM default). Analytic components, in block elements
+    (bh*wp*128):
+
+      2 pipelined input blocks        2*itemsize
+      2 pipelined output blocks       2*itemsize
+      x_ref[:] load/reshape copy      itemsize
+      f32 dot output                  4
+      HIGHEST multi-pass staging      4   (f32 inputs only — bf16 runs one
+                                           DEFAULT-precision pass)
+
+    f32: 28 B/elem analytic -> 18.48 MB at the crash shape; the compiler's
+    measured stack is 19.35 MB, so a flat 5% Mosaic-overhead factor is
+    applied on top (19.41 MB modeled >= 19.35 measured, within 0.4%). The
+    round-3 model (20 B/elem, no overhead) predicted 13.1 MB there and
+    shipped the crash; this one picks bh=2 (9.6 MB) at that shape. The AOT
+    compile probe in try_conv1x1_pallas backstops any residual miss."""
+    per = 2 * itemsize + 2 * itemsize + itemsize + 4 + (4 if itemsize == 4 else 0)
+    analytic = bh * wp * _LANES * per + 2 * _LANES * (_LANES * itemsize + 4)
+    return int(analytic * 1.05)
+
+
 def pick_block_h_1x1(h: int, wp: int, itemsize: int) -> int | None:
-    """1x1 block picker: 2 pipelined in + 2 out blocks + the f32 staging."""
     for bh in (16, 8, 4, 2, 1):
-        if h % bh == 0 and bh * wp * _LANES * (4 * itemsize + 4) <= _VMEM_BUDGET:
+        if h % bh == 0 and _vmem_estimate_1x1(bh, wp, itemsize) <= _VMEM_BUDGET:
             return bh
     return None
 
@@ -323,3 +431,54 @@ def conv1x1_lane128(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
         name="conv1x1_lane128",
         interpret=interpret,
     )(x, w.astype(x.dtype), bias)
+
+
+def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
+                       *, relu: bool = False) -> jax.Array | None:
+    """Shared router for every Pallas 1x1-conv candidate (the single gate
+    the round-3 advisor asked for — ops/packed.py:packed_conv1x1 and
+    models/packed_vgg.py:packed_wct_apply previously duplicated it).
+
+    ``x``: (1, H, Wp, FC) single-image map; ``w``: (FC, FCo); ``b``: (FCo,)
+    or None. Returns the (1, H, Wp, FCo) result, or None when the kernel
+    does not apply (wrong backend, kill switch, batch > 1, channels beyond
+    one lane tile, misaligned W, no VMEM-feasible block, or the AOT compile
+    probe rejected the shape) — the caller then uses the XLA conv lowering.
+
+    Channels are zero-padded to the 128-lane tile around the kernel (Mosaic
+    needs whole lane tiles; zero weight columns keep the math exact)."""
+    n, h, wp, fc = x.shape
+    fco = w.shape[-1]
+    if not (n == 1 and fc <= _LANES and fco <= _LANES
+            and pallas_conv_enabled() and jax.default_backend() == "tpu"):
+        return None
+    sub = 8 if x.dtype.itemsize == 4 else 16
+    if wp % sub:
+        return None
+    bh = pick_block_h_1x1(h, wp, x.dtype.itemsize)
+    if bh is None:
+        return None
+    if not kernel_compiles(
+            conv1x1_lane128,
+            (jax.ShapeDtypeStruct((h, wp, _LANES), x.dtype),
+             jax.ShapeDtypeStruct((_LANES, _LANES), x.dtype),
+             jax.ShapeDtypeStruct((_LANES,), jnp.float32)),
+            relu=relu, block_h=bh):
+        return None
+    ci_pad, co_pad = -fc % _LANES, -fco % _LANES
+    xk = x[0]
+    wk = w.reshape(fc, fco)
+    bk = None if b is None else b.reshape(fco)
+    if ci_pad:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, ci_pad)))
+        wk = jnp.pad(wk, ((0, ci_pad), (0, 0)))
+    if co_pad:
+        wk = jnp.pad(wk, ((0, 0), (0, co_pad)))
+        if bk is not None:
+            bk = jnp.pad(bk, (0, co_pad))
+    if bk is None:
+        bk = jnp.zeros((_LANES,), jnp.float32)
+    y = conv1x1_lane128(xk, wk, bk.astype(jnp.float32), relu=relu, block_h=bh)
+    if co_pad:
+        y = y[..., :fco]
+    return y[None]

@@ -8,8 +8,14 @@ WCT covariance over a 42 MPix stage-1 feature map the input is ~4 GB, so one
 pass vs two is a straight bandwidth win.
 
 The caller zero-pads P up to the block size (zero rows change neither sum nor
-gram). Channel counts are padded to the 128-lane tile by the caller as well —
-packed-pipeline features are already lane-dense.
+gram). Channel counts need NOT be lane-dense: any C that is a multiple of the
+8-sublane tile works (the (P, C) operands put C on the lanes; Mosaic masks the
+partial minor tile in both the VPU sum and the MXU gram). The slab cascade
+routes its sub-dense stage widths here too — 96 (stage-1 SE width 24 packed
+x4 at the slab's deepest factor) and 24/64 transition maps — which is pinned
+against the XLA two-reduction path at exactly those widths in
+tests/test_pallas_stats.py. C not divisible by 8 must be padded by the caller
+(wct/slab.py gates on C % 8).
 """
 
 from __future__ import annotations

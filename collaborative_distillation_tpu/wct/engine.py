@@ -552,6 +552,38 @@ class WCTEngine:
                                pwct=pwct, orig_hw=orig_hw, transport=transport)
         return self._from_device(img, orig_hw, squeeze, as_uint8, transport)
 
+    def stylize_device(self, content, style, alpha: float = 1.0, *,
+                       num_run: int = 1, style_key=None,
+                       pwct: bool = False):
+        """Device-resident stylization: (N, H, W, 3) float arrays already on
+        the chip in, device array out — no host transfer on either leg.
+
+        The public API for pipelines (benchmarks, serving fan-in) that keep
+        pixels resident: it routes through the exact same dispatch as
+        :meth:`stylize` — fused-slab / per-stage-slab / tiled / plain
+        cascade selection, style-statistics caching via ``style_key``, and
+        the full compile-failure degradation ladder — rather than poking a
+        private program handle. Inputs are reflect-padded to the cascade's
+        granularity and the output is cropped back to the input H, W."""
+        img = jnp.asarray(content, self.dtype)
+        sty = jnp.asarray(style, self.dtype)
+        if img.ndim == 3:
+            img = img[None]
+        if sty.ndim == 3:
+            sty = sty[None]
+        orig_hw = (img.shape[1], img.shape[2])
+        mult_h = 16 * self.space if self.space else 16
+        img, _ = _pad_to_multiple(img, mult_h, 16)
+        sty, _ = _pad_to_multiple(sty, mult_h, 16)
+        out = self._run_device(img, sty, alpha, num_run=num_run,
+                               style_key=style_key, as_uint8=False, pwct=pwct,
+                               orig_hw=orig_hw, stream_ok=False)
+        if out.shape[1] != orig_hw[0] or out.shape[2] != orig_hw[1]:
+            out = out[:, :orig_hw[0], :orig_hw[1]]
+        # same output contract as the host path (_from_device): float image
+        # clipped to [0, 1] — the clip fuses into the cascade's last stage
+        return jnp.clip(out, 0.0, 1.0).astype(self.dtype)
+
     def stylize_planes(self, y: np.ndarray, cbcr: np.ndarray, style,
                        alpha: float = 1.0, *, num_run: int = 1,
                        style_key=None) -> tuple[np.ndarray, np.ndarray]:
@@ -876,11 +908,20 @@ class WCTEngine:
                 # with teacher widths at UHD through the remote compiler);
                 # degrade to per-stage slab programs for this engine. Only
                 # compiler/runtime errors are caught — a TypeError/ValueError
-                # from a real bug still surfaces.
+                # from a real bug still surfaces. The rebuilt programs must
+                # not be able to contain whatever kernel just failed, so the
+                # Pallas conv routes are force-disabled first (r3 postmortem:
+                # the old ladder re-traced the same failing conv1x1 kernel
+                # inside the per-stage programs and crashed identically) and
+                # the cached per-stage programs are dropped so they re-trace
+                # under the disabled gate.
                 import warnings
+                from ..ops.pallas.conv import disable_pallas_conv
                 warnings.warn(
                     f"fused cascade failed ({type(e).__name__}: {e}); falling "
                     f"back to per-stage slab programs", RuntimeWarning)
+                disable_pallas_conv(f"fused cascade {type(e).__name__}")
+                self._stage_fns.clear()
                 self._fused_slab = None
                 for i in range(completed, num_run):
                     stream = as_uint8 and i == num_run - 1

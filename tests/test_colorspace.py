@@ -13,6 +13,8 @@ from collaborative_distillation_tpu.utils.colorspace import (
     yuv420_to_rgbf_device,
 )
 
+pytestmark = pytest.mark.quick  # fast regression tier (pytest -m quick)
+
 
 def _smooth_rgb(rng, h, w):
     small = rng.random((h // 8, w // 8, 3))

@@ -105,6 +105,59 @@ def test_engine_slab_fused_path(weights_root, rng):
     assert out3.shape == c2.shape and np.isfinite(out3).all()
 
 
+def test_engine_fused_failure_degrades_without_pallas(weights_root, rng, monkeypatch):
+    """The degradation ladder (r3 verdict item 2): when the fused cascade
+    dies with a compiler/runtime error, the engine must (a) force-disable
+    the Pallas conv routes so the rebuilt per-stage programs cannot contain
+    the failed kernel, (b) still produce a correct full-shaped output via
+    the per-stage slab path."""
+    import jax.errors
+    from collaborative_distillation_tpu.ops.pallas import conv
+
+    monkeypatch.setattr(conv, "_FORCE_OFF", False)  # restore after test
+    eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
+                    slab_rows=32, fused=True)
+    assert eng._fused_slab is not None
+    _, fparams = eng._fused_slab
+
+    def exploding_fn(params, img, sstats, alpha):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: synthetic scoped-VMEM OOM (test)")
+
+    eng._fused_slab = (exploding_fn, fparams)
+    c = rng.random((96, 48, 3), dtype=np.float32)
+    s = rng.random((64, 48, 3), dtype=np.float32)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        out = eng.stylize(c, s)
+    assert out.shape == c.shape and np.isfinite(out).all()
+    # the ladder stepped to a configuration that cannot re-trace the kernel
+    assert not conv.pallas_conv_enabled()
+    assert eng._fused_slab is None
+    # the degraded output is the per-stage slab result, not garbage
+    eng2 = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
+                     slab_rows=32, fused=False)
+    np.testing.assert_allclose(out, eng2.stylize(c, s), atol=2e-3)
+
+
+def test_stylize_device_matches_stylize(weights_root, rng):
+    """The public device-resident API (what bench.py drives) must agree
+    with the host-array path through the same engine."""
+    eng = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
+                    slab_rows=32, fused=True)
+    c = rng.random((96, 48, 3), dtype=np.float32)
+    s = rng.random((64, 48, 3), dtype=np.float32)
+    ref = eng.stylize(c, s, style_key="k")
+    dev = eng.stylize_device(jnp.asarray(c), jnp.asarray(s), style_key="k")
+    assert dev.shape == (1, 96, 48, 3)
+    np.testing.assert_allclose(np.asarray(dev[0]), ref, atol=2e-4)
+    # non-multiple-of-16 height: padded in, cropped back out
+    c2 = rng.random((100, 48, 3), dtype=np.float32)
+    dev2 = eng.stylize_device(jnp.asarray(c2), jnp.asarray(s), style_key="k")
+    assert dev2.shape == (1, 100, 48, 3)
+    np.testing.assert_allclose(np.asarray(dev2[0]),
+                               eng.stylize(c2, s, style_key="k"), atol=2e-4)
+
+
 def test_engine_pwct_path(weights_root, rng):
     """Photo-WCT (argmax unpooling, no final relu) runs end to end and
     differs from the standard nearest-upsample decode."""

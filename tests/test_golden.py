@@ -26,6 +26,7 @@ def real_image():
     return (np.asarray(img, np.float32) / 255.0)[None]
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("stage", [1, 3, 5])
 def test_trained_se_features_match_oracle(weights_root, real_image, stage):
     enc_spec, _ = stage_specs("16x", stage)

@@ -16,6 +16,8 @@ from collaborative_distillation_tpu.ops import (
     upsample_nearest_2x,
 )
 
+pytestmark = pytest.mark.quick  # fast regression tier (pytest -m quick)
+
 
 def _nchw(x):
     return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))

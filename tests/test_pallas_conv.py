@@ -99,11 +99,92 @@ def test_routing_gate():
     assert supported(4096, 2560, 128, 128, 2)[1] is True
 
 
+@pytest.mark.quick
 def test_block_picker_respects_vmem():
     # UHD full-res width: bh=4 fits, bh=8 would blow scoped VMEM
     assert pick_block_h(4096, 1280, 128, 128, 2, 2) == 4
     # tiny maps take the largest divisor
     assert pick_block_h(32, 32, 128, 128, 4, 4) == 16
+
+
+@pytest.mark.quick
+def test_1x1_picker_anchored_to_measured_compiler_point():
+    """The 1x1 VMEM model is calibrated against the one REAL Mosaic data
+    point we have — BENCH_r03's scoped-VMEM OOM: bh=4, wp=1280, f32 was
+    18.45 MB actual stack (vs the 16 MB limit). The round-3 model predicted
+    13.1 MB there and shipped a crash; this test anchors the estimator to
+    the compiler's number, not to itself."""
+    from collaborative_distillation_tpu.ops.pallas.conv import (
+        _vmem_estimate_1x1, pick_block_h_1x1)
+    measured = int(18.45 * 2**20)
+    est = _vmem_estimate_1x1(4, 1280, 4)
+    assert est >= measured, (est, measured)          # never under-predict it
+    assert est <= int(measured * 1.02), est          # calibrated, not padded
+    # consequences at the UHD cascade shapes:
+    assert pick_block_h_1x1(4096, 1280, 4) == 2      # the r3 crash shape
+    assert pick_block_h_1x1(4096, 1280, 2) == 4      # bf16: one less pass
+    assert pick_block_h_1x1(4096, 2560, 4) == 1      # full-res f32 stage-1
+    assert pick_block_h_1x1(512, 1280, 4) == 2
+
+
+@pytest.mark.quick
+def test_pallas_conv_kill_switch(monkeypatch):
+    """CD_TPU_PALLAS / CD_TPU_PALLAS_CONV env knobs and the runtime
+    disable_pallas_conv() (the engine's degradation ladder) all force the
+    XLA route."""
+    from collaborative_distillation_tpu.ops.pallas import conv
+
+    monkeypatch.setattr(conv, "_FORCE_OFF", False)
+    monkeypatch.delenv("CD_TPU_PALLAS", raising=False)
+    monkeypatch.delenv("CD_TPU_PALLAS_CONV", raising=False)
+    assert conv.pallas_conv_enabled()
+    monkeypatch.setenv("CD_TPU_PALLAS", "0")
+    assert not conv.pallas_conv_enabled()
+    monkeypatch.delenv("CD_TPU_PALLAS")
+    monkeypatch.setenv("CD_TPU_PALLAS_CONV", "off")
+    assert not conv.pallas_conv_enabled()
+    monkeypatch.delenv("CD_TPU_PALLAS_CONV")
+    with pytest.warns(RuntimeWarning, match="disabled"):
+        conv.disable_pallas_conv("test")
+    assert not conv.pallas_conv_enabled()
+
+
+@pytest.mark.quick
+def test_try_conv1x1_routing(monkeypatch, rng):
+    """The shared router: gated off-CPU; with the backend faked to TPU, a
+    probe rejection falls through to None (XLA), and an accepted route pads
+    sub-dense channels to the lane tile correctly."""
+    from collaborative_distillation_tpu.ops.pallas import conv
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 96)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((96, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    # CPU backend: router must decline
+    assert conv.try_conv1x1_pallas(x, w, b, relu=True) is None
+
+    monkeypatch.setattr(conv.jax, "default_backend", lambda: "tpu")
+    # probe rejects the shape -> None
+    monkeypatch.setattr(conv, "kernel_compiles", lambda *a, **k: False)
+    assert conv.try_conv1x1_pallas(x, w, b, relu=True) is None
+
+    # probe accepts; swap the kernel for an XLA equivalent so the padding
+    # and unpadding logic is exercised on the CPU test platform
+    monkeypatch.setattr(conv, "kernel_compiles", lambda *a, **k: True)
+
+    def fake_kernel(xk, wk, bk, *, relu, block_h, interpret=False):
+        y = xk.reshape(-1, xk.shape[-1]) @ wk + bk.reshape(1, -1)
+        if relu:
+            y = jnp.maximum(y, 0)
+        return y.reshape(*xk.shape[:2], wk.shape[-1]).astype(xk.dtype)
+
+    monkeypatch.setattr(conv, "conv1x1_lane128", fake_kernel)
+    got = conv.try_conv1x1_pallas(x, w, b, relu=True)
+    assert got is not None and got.shape == (1, 8, 16, 64)
+    ref = jnp.maximum(
+        jnp.einsum("nhwc,cd->nhwd", x, w) + b, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_pad_columns_match_packed_reflect(rng):

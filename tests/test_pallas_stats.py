@@ -13,7 +13,12 @@ from collaborative_distillation_tpu.ops.pallas.stats import (
 )
 
 
-@pytest.mark.parametrize("p,c,blk", [(1000, 128, 256), (4096, 128, 4096), (300, 256, 128)])
+@pytest.mark.parametrize("p,c,blk", [
+    (1000, 128, 256), (4096, 128, 4096), (300, 256, 128),
+    # sub-dense (non-128-multiple) widths the slab cascade actually feeds
+    # here (wct/slab.py:_stats_from_feats gates on C % 8): stage-1's 96
+    # lanes (width 24 packed x4), the 24/64 transition widths
+    (1000, 96, 256), (512, 24, 128), (300, 64, 64)])
 def test_fused_sum_gram_matches(rng, p, c, blk):
     x = jnp.asarray(rng.standard_normal((p, c)).astype(np.float32))
     s, g = fused_sum_gram(x, block_rows=blk, interpret=True)

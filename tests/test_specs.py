@@ -8,6 +8,8 @@ import pytest
 
 from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
 
+pytestmark = pytest.mark.quick  # fast regression tier (pytest -m quick)
+
 
 def _ckpt_shapes(path):
     import torch

@@ -21,6 +21,8 @@ from collaborative_distillation_tpu.utils.logging import (
 )
 from collaborative_distillation_tpu.utils.profiling import StepTimer, trace
 
+pytestmark = pytest.mark.quick  # fast regression tier (pytest -m quick)
+
 
 def test_save_and_load_image_roundtrip(tmp_path, rng):
     arr = rng.random((20, 30, 3)).astype(np.float32)

@@ -15,6 +15,8 @@ from collaborative_distillation_tpu.ops import (
 
 import torch_oracle
 
+pytestmark = pytest.mark.quick  # fast regression tier (pytest -m quick)
+
 
 def _rand_feat(rng, p, c, scale=1.0):
     # correlated features so covariance is interesting
