@@ -60,6 +60,7 @@ def apply_encoder(
     *,
     aux_relu: bool = False,
     with_pool_argmax: bool = False,
+    pallas_conv: bool = False,
 ) -> dict[str, jax.Array]:
     """Run encoder stage; returns named features.
 
@@ -78,7 +79,7 @@ def apply_encoder(
     n_pool = 0
     for layer in spec.layers:
         p = params[layer.name]
-        x = conv3x3(x, p["w"], p["b"], relu=layer.relu)
+        x = conv3x3(x, p["w"], p["b"], relu=layer.relu, pallas=pallas_conv)
         if layer.tap:
             outs[layer.tap] = x
         if layer.pool_after:
@@ -104,6 +105,7 @@ def apply_decoder(
     *,
     aux_relu: bool = False,
     final_relu: bool = True,
+    pallas_conv: bool = False,
 ) -> dict[str, jax.Array]:
     """Run decoder stage; returns named features.
 
@@ -124,7 +126,7 @@ def apply_decoder(
     for layer in spec.layers:
         p = params[layer.name]
         relu = layer.relu and (final_relu or layer is not last)
-        x = conv3x3(x, p["w"], p["b"], relu=relu)
+        x = conv3x3(x, p["w"], p["b"], relu=relu, pallas=pallas_conv)
         if layer.unpool_after:
             x = upsample_nearest_2x(x)
         if layer.tap:

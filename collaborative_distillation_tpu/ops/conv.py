@@ -63,9 +63,20 @@ def conv2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *, relu: bool = True) -> jax.Array:
+def conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *,
+            relu: bool = True, pallas: bool = False) -> jax.Array:
     """Reflect-pad(1) + 3x3 VALID conv (+ optional ReLU): the reference's
-    universal conv block (e.g. model_original.py:494 ``relu(conv(pad(x)))``)."""
+    universal conv block (e.g. model_original.py:494 ``relu(conv(pad(x)))``).
+
+    ``pallas=True`` (inference paths only — pallas_call has no autodiff
+    rule) tries the tiled direct kernel first for single-image teacher-width
+    maps (ops/pallas/conv.py:conv3x3_tiled); every out-of-scope shape falls
+    back to this XLA lowering."""
+    if pallas:
+        from .pallas.conv import try_conv3x3_tiled
+        y = try_conv3x3_tiled(x, w, b, relu=relu)
+        if y is not None:
+            return y
     y = conv2d(reflect_pad(x, 1), w, b)
     if relu:
         y = jnp.maximum(y, 0)

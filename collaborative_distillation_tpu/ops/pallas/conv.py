@@ -40,10 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv1x1_lane128", "conv3x3_lane128", "make_pad_columns",
-           "pick_block_h", "pick_block_h_1x1", "supported",
+__all__ = ["conv1x1_lane128", "conv3x3_lane128", "conv3x3_tiled",
+           "make_pad_columns", "pick_block_h", "pick_block_h_1x1",
+           "pick_tiles_3x3", "supported",
            "pallas_conv_enabled", "disable_pallas_conv", "kernel_compiles",
-           "try_conv1x1_pallas"]
+           "try_conv1x1_pallas", "try_conv3x3_tiled"]
 
 _LANES = 128
 _EDGE = 16  # window column where the interior starts; also the pad-array W
@@ -482,3 +483,273 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
     if co_pad:
         y = y[..., :fco]
     return y[None]
+
+
+# ---------------------------------------------------------------------------
+# General tiled direct conv — the teacher (original-VGG) widths.
+#
+# conv3x3_lane128 above holds whole (H, W) rows in VMEM and one lane tile of
+# channels, which covers every *width-packed student* map but nothing the
+# unpacked teacher cascade produces: its maps run up to (H, 10240, 64) at
+# full res and (H/8, 1280, 512) at depth (reference model_original.py widths
+# 64/128/256/512). This kernel tiles all three axes:
+#
+#   grid = (H/bh, W/bw, Cout/co_t, Cin/ci_t)   (ci fastest)
+#
+# * W blocks carry a ``sub``-column halo chunk on each side, fetched as
+#   sublane-ALIGNED DMAs (Mosaic requires tile-aligned DMA offsets, so a
+#   plain +-1-column fetch is impossible); only the single column adjacent
+#   to the interior is ever read by the taps, and at the true image edges
+#   that column is rewritten in-kernel with the reflect column (original
+#   col 1 / W-2) — same padless contract as the lane128 kernel.
+# * Cin tiles accumulate into an f32 VMEM scratch across the fastest grid
+#   axis; the output block is written once, on the last Cin tile.
+# * Cout tiles re-read the input window (nco passes over the map). In the
+#   VGG ladder every nco>1 layer also has nci>1, so the re-read rides the
+#   same DMAs the Cin loop needs anyway; co_t=256 is preferred when VMEM
+#   allows to halve the passes.
+#
+# Reference math: ReflectionPad2d + Conv2d(3x3) + optional ReLU
+# (model_original.py:434-450), bit-matched against ops/conv.py:conv3x3 in
+# tests/test_pallas_conv.py.
+# ---------------------------------------------------------------------------
+
+
+def _vmem_estimate_tiled(bh: int, bw: int, sub: int, ci_t: int, co_t: int,
+                         itemsize: int) -> int:
+    li, lo = _lanes(ci_t), _lanes(co_t)
+    win = 2 * (bh + 2) * (bw + 2 * sub) * li * itemsize
+    stage = (bh + 2) * bw * li * itemsize
+    acc = bh * bw * lo * 4
+    out = 2 * bh * bw * lo * itemsize
+    wts = 2 * 9 * li * lo * itemsize
+    # 15% Mosaic-stack margin (the round-3 lesson: model the compiler's
+    # overhead, don't trust the raw buffer sum); kernel_compiles() backstops.
+    return int((win + stage + acc + out + wts) * 1.15)
+
+
+def pick_tiles_3x3(h: int, w: int, cin: int, cout: int,
+                   itemsize: int) -> tuple[int, int, int, int] | None:
+    """Choose ``(block_h, block_w, ci_tile, co_tile)`` for conv3x3_tiled,
+    or None when the shape is out of scope (lane-sparse channels, misaligned
+    W, or nothing fits VMEM)."""
+    sub = 8 if itemsize == 4 else 16
+    if h < 2 or w < 2 * sub or w % sub:
+        return None
+    # Mosaic rejects sub-128 lane dims in the manual DMAs ("slice shape
+    # along dimension 2 must be aligned to tiling (128)"), so only whole-
+    # lane-tile channel counts route here; the C<=64 teacher layers (conv1_*,
+    # conv2_1 and decoder mirrors) stay on the XLA lowering, and the packed
+    # student pipeline owns every compressed width.
+    if cin % 128 or cout % 128:
+        return None
+    ci_t = 128
+    co_opts = [256, 128] if (cout % 256 == 0 and cin >= 256) else [min(cout, 128)]
+    bws = [d for d in range(sub, min(w, 2560) + 1, sub) if w % d == 0]
+    fallback = None
+    for co_t in co_opts:
+        cand = None
+        for bw in bws:
+            for bh in (16, 8, 4, 2, 1):
+                if h % bh == 0 and _vmem_estimate_tiled(
+                        bh, bw, sub, ci_t, co_t, itemsize) <= _VMEM_BUDGET:
+                    if cand is None or (bh * bw, bw) > (cand[0] * cand[1], cand[1]):
+                        cand = (bh, bw)
+                    break  # bh descending: first fit is the largest for this bw
+        if cand is not None:
+            if cand[0] * cand[1] >= 1024:
+                return (cand[0], cand[1], ci_t, co_t)
+            if fallback is None:
+                fallback = (cand[0], cand[1], ci_t, co_t)
+    return fallback
+
+
+def _tiled_kernel(x_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
+                  h: int, w: int, sub: int, ci_t: int, nci: int, relu: bool):
+    if nci > 1:
+        xwin, xs, acc, sems = refs
+    else:
+        xwin, xs, sems = refs
+        acc = None
+    hb, wb, co, ci = (pl.program_id(i) for i in range(4))
+    nh, nw, nco = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+    flat = ((hb * nw + wb) * nco + co) * nci + ci
+    nsteps = nh * nw * nco * nci
+
+    def dmas(slot, hb2, wb2, ci2):
+        # 3 row ranges (core + 1-row reflect halos, edge blocks re-read the
+        # mirrored interior row) x 3 col ranges (core + sub-wide aligned halo
+        # chunks; at W edges the chunk content is a placeholder re-read of a
+        # valid aligned range — only its tap column is read, and that column
+        # is rewritten with the reflect column in-kernel below).
+        top = jnp.where(hb2 == 0, 1, hb2 * bh - 1)
+        bot = jnp.where(hb2 == nh - 1, h - 2, hb2 * bh + bh)
+        # W offsets are computed in sublane-tile units and multiplied out so
+        # Mosaic can PROVE divisibility by the tiling (a jnp.where of two
+        # multiples is not provably a multiple; "failed to prove that a tile
+        # index in dimension 1 is divisible by the tiling (8)")
+        lsrc = jnp.where(wb2 == 0, 0, wb2 * (bw // sub) - 1) * sub
+        rsrc = jnp.where(wb2 == nw - 1, w // sub - 1,
+                         wb2 * (bw // sub) + bw // sub) * sub
+        rows = ((pl.ds(hb2 * bh, bh), pl.ds(1, bh)),
+                (pl.ds(top, 1), pl.ds(0, 1)),
+                (pl.ds(bot, 1), pl.ds(bh + 1, 1)))
+        cols = ((pl.ds(wb2 * bw, bw), pl.ds(sub, bw)),
+                (pl.ds(lsrc, sub), pl.ds(0, sub)),
+                (pl.ds(rsrc, sub), pl.ds(sub + bw, sub)))
+        out, k = [], 0
+        for rs, rd in rows:
+            for csrc, cdst in cols:
+                # Mosaic requires lane-dim DMA slices to be 128-aligned in
+                # size, so sub-tile ci (64) must copy the WHOLE minor dim —
+                # only multi-tile cin (ci_t=128, aligned) slices it.
+                src = (x_hbm.at[rs, csrc] if nci == 1
+                       else x_hbm.at[rs, csrc, pl.ds(ci2 * ci_t, ci_t)])
+                out.append(pltpu.make_async_copy(
+                    src, xwin.at[slot, rd, cdst], sems.at[slot, k]))
+                k += 1
+        return out
+
+    @pl.when(flat == 0)
+    def _():
+        for d in dmas(0, 0, 0, 0):
+            d.start()
+
+    @pl.when(flat + 1 < nsteps)
+    def _():
+        nxt = flat + 1
+        ci2 = nxt % nci
+        r = nxt // nci
+        r = r // nco        # co of the next step does not change its window
+        wb2 = r % nw
+        hb2 = r // nw
+        for d in dmas(nxt % 2, hb2, wb2, ci2):
+            d.start()
+
+    slot = flat % 2
+    for d in dmas(slot, hb, wb, ci):
+        d.wait()
+
+    # reflect columns at the true image edges (single-column VPU stores)
+    @pl.when(wb == 0)
+    def _():
+        xwin[slot, :, sub - 1:sub, :] = xwin[slot, :, sub + 1:sub + 2, :]
+
+    @pl.when(wb == nw - 1)
+    def _():
+        xwin[slot, :, sub + bw:sub + bw + 1, :] = \
+            xwin[slot, :, sub + bw - 2:sub + bw - 1, :]
+
+    xb = xwin[slot]  # (bh+2, bw+2*sub, ci_t)
+    co_t = o_ref.shape[-1]
+    part = jnp.zeros((bh * bw, co_t), jnp.float32)
+    for kx in range(3):
+        if kx == 1:
+            v3 = xb[:, sub:sub + bw, :]  # aligned center tap: free view
+        else:
+            xs[:] = xb[:, sub - 1 + kx:sub - 1 + kx + bw, :]
+            v3 = xs[:]
+        for ky in range(3):
+            v = v3[ky:ky + bh].reshape(bh * bw, ci_t)
+            part = part + jnp.dot(v, w_ref[3 * ky + kx],
+                                  preferred_element_type=jnp.float32)
+
+    if nci > 1:
+        total = jnp.where(ci == 0, part, acc[:] + part)
+
+        @pl.when(ci + 1 < nci)
+        def _():
+            acc[:] = total
+    else:
+        total = part
+
+    @pl.when(ci + 1 == nci)
+    def _():
+        y = total + b_ref[0].astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0)
+        o_ref[:] = y.reshape(bh, bw, co_t).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "block_h", "block_w", "ci_tile", "co_tile", "interpret"))
+def conv3x3_tiled(x: jax.Array, w9: jax.Array, b: jax.Array | None, *,
+                  relu: bool = True, block_h: int, block_w: int,
+                  ci_tile: int, co_tile: int,
+                  interpret: bool = False) -> jax.Array:
+    """Reflect-padded 3x3 conv on an UNPADDED (H, W, Cin) map -> (H, W, Cout),
+    tiled over H, W, Cin and Cout (teacher widths; see the section comment).
+
+    ``w9``: (9, Cin, Cout) tap-major (ky*3+kx); ``b``: (Cout,) or None.
+    f32 accumulation on the MXU across all Cin tiles; emits ``x.dtype``.
+    """
+    h, w_, cin = x.shape
+    _, wcin, cout = w9.shape
+    assert w9.shape[0] == 9 and wcin == cin, (x.shape, w9.shape)
+    assert h % block_h == 0 and w_ % block_w == 0, (x.shape, block_h, block_w)
+    assert cin % ci_tile == 0 and cout % co_tile == 0, (cin, cout, ci_tile, co_tile)
+    sub = 8 if x.dtype.itemsize == 4 else 16
+    nci = cin // ci_tile
+    bias = (jnp.zeros((1, cout), jnp.float32) if b is None
+            else b.reshape(1, cout).astype(jnp.float32))
+    kernel = functools.partial(_tiled_kernel, bh=block_h, bw=block_w, h=h,
+                               w=w_, sub=sub, ci_t=ci_tile, nci=nci, relu=relu)
+    scratch = [
+        pltpu.VMEM((2, block_h + 2, block_w + 2 * sub, ci_tile), x.dtype),
+        pltpu.VMEM((block_h + 2, block_w, ci_tile), x.dtype),
+    ]
+    if nci > 1:
+        scratch.append(pltpu.VMEM((block_h * block_w, co_tile), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 9)))
+    return pl.pallas_call(
+        kernel,
+        grid=(h // block_h, w_ // block_w, cout // co_tile, nci),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec((9, ci_tile, co_tile),
+                         lambda hb, wb, co, ci: (0, ci, co),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda hb, wb, co, ci: (0, co),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_h, block_w, co_tile),
+                               lambda hb, wb, co, ci: (hb, wb, co),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w_, cout), x.dtype),
+        scratch_shapes=scratch,
+        name="conv3x3_tiled",
+        interpret=interpret,
+    )(x, w9.astype(x.dtype), bias)
+
+
+def try_conv3x3_tiled(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
+                      relu: bool = True) -> jax.Array | None:
+    """Router for the tiled kernel: unpacked NHWC single-image reflect-pad
+    3x3 convs (the teacher cascade's shape universe). Returns the
+    (1, H, W, Cout) result or None (caller falls back to the XLA lowering).
+
+    Opt-in from inference paths only (pallas_call has no autodiff rule, so
+    training call sites never route here — ops/conv.py:conv3x3 ``pallas``
+    keyword)."""
+    n, h, w_, cin = x.shape
+    kh, kw_, wcin, cout = w.shape
+    if not (n == 1 and kh == 3 and kw_ == 3 and wcin == cin
+            and pallas_conv_enabled()
+            and jax.default_backend() == "tpu"
+            and x.dtype in (jnp.float32, jnp.bfloat16)):
+        return None
+    tiles = pick_tiles_3x3(h, w_, cin, cout, x.dtype.itemsize)
+    if tiles is None:
+        return None
+    bh, bw, ci_t, co_t = tiles
+    if not kernel_compiles(
+            conv3x3_tiled,
+            (jax.ShapeDtypeStruct((h, w_, cin), x.dtype),
+             jax.ShapeDtypeStruct((9, cin, cout), x.dtype),
+             jax.ShapeDtypeStruct((cout,), jnp.float32)),
+            relu=relu, block_h=bh, block_w=bw, ci_tile=ci_t, co_tile=co_t):
+        return None
+    w9 = w.reshape(9, cin, cout)
+    bk = None if b is None else b.reshape(cout).astype(jnp.float32)
+    return conv3x3_tiled(x[0], w9, bk, relu=relu, block_h=bh, block_w=bw,
+                         ci_tile=ci_t, co_tile=co_t)[None]

@@ -97,7 +97,7 @@ def stage_style_stats(enc_params, enc_spec, style: jax.Array):
 
     Batched styles (N > 1) get per-image statistics ((N,C), (N,C,C)) so each
     batch element pairs with its own style."""
-    feats = apply_encoder(enc_params, style, enc_spec)["out"]
+    feats = apply_encoder(enc_params, style, enc_spec, pallas_conv=True)["out"]
     if feats.shape[0] > 1:
         return jax.vmap(feature_stats)(feats)
     return feature_stats(feats)
@@ -106,10 +106,10 @@ def stage_style_stats(enc_params, enc_spec, style: jax.Array):
 def stylize_stage(enc_params, dec_params, enc_spec, dec_spec, img, s_mean, s_cov,
                   alpha, method: str, newton_iters: int = 24):
     """encode -> WCT -> decode for one pyramid level (WCT.py styleTransfer)."""
-    cf = apply_encoder(enc_params, img, enc_spec)["out"]
+    cf = apply_encoder(enc_params, img, enc_spec, pallas_conv=True)["out"]
     csf = wct_transform(cf, s_mean, s_cov, alpha, method=method,
                         newton_iters=newton_iters)
-    return apply_decoder(dec_params, csf, dec_spec)["out"]
+    return apply_decoder(dec_params, csf, dec_spec, pallas_conv=True)["out"]
 
 
 def stylize_stage_pwct(enc_params, dec_params, enc_spec, dec_spec, img, s_mean,

@@ -75,7 +75,7 @@ def _encode_any(pk, sl, spec: StageSpec, packed: bool):
     """(features, packing factor) for one (extended) slab."""
     if packed:
         return apply_encoder_packed(pk, sl, spec)
-    return apply_encoder(pk, sl, spec)["out"], 1
+    return apply_encoder(pk, sl, spec, pallas_conv=True)["out"], 1
 
 
 def _stats_from_feats(feats, f, c, offset_f, interior_f):
@@ -112,7 +112,7 @@ def _color_decode_feats(feats, f, dk, spec_d: StageSpec, t, c_mean, s_mean,
     if packed:
         dec = apply_decoder_packed(dk, csf, f, spec_d)
     else:
-        dec = apply_decoder(dk, csf, spec_d)["out"]
+        dec = apply_decoder(dk, csf, spec_d, pallas_conv=True)["out"]
     return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
 
 
@@ -155,7 +155,7 @@ def _slab_stats(enc_params, slab_ext, offset_f, spec: StageSpec, interior_f: int
     0 for the top edge slab (whose top boundary is the real image boundary and
     therefore per-conv-reflect-exact), ``margin_f`` otherwise.
     """
-    feats = apply_encoder(enc_params, slab_ext, spec)["out"]
+    feats = apply_encoder(enc_params, slab_ext, spec, pallas_conv=True)["out"]
     inner = lax.dynamic_slice_in_dim(feats, offset_f, interior_f, axis=1)
     c = inner.shape[-1]
     x = inner.reshape(-1, c).astype(jnp.float32)
@@ -168,9 +168,9 @@ def _slab_stats(enc_params, slab_ext, offset_f, spec: StageSpec, interior_f: int
 def _slab_apply(enc_params, dec_params, slab_ext, offset, t, c_mean, s_mean, alpha,
                 enc_spec: StageSpec, dec_spec: StageSpec, interior: int):
     """Encode -> color -> decode one extended slab; return interior rows."""
-    feats = apply_encoder(enc_params, slab_ext, enc_spec)["out"]
+    feats = apply_encoder(enc_params, slab_ext, enc_spec, pallas_conv=True)["out"]
     csf = packed_wct_apply(feats, 1, feats.shape[-1], t, c_mean, s_mean, alpha)
-    dec = apply_decoder(dec_params, csf, dec_spec)["out"]
+    dec = apply_decoder(dec_params, csf, dec_spec, pallas_conv=True)["out"]
     return lax.dynamic_slice_in_dim(dec, offset, interior, axis=1)
 
 
@@ -309,7 +309,7 @@ class SlabCascade:
                 self._style_fns[k] = jax.jit(fp)
             else:
                 def f(p, s):
-                    feats = apply_encoder(p, s, spec)["out"]
+                    feats = apply_encoder(p, s, spec, pallas_conv=True)["out"]
                     c = feats.shape[-1]
                     x = feats.reshape(-1, c).astype(jnp.float32)
                     mean = jnp.mean(x, axis=0)

@@ -227,3 +227,89 @@ def test_wct_apply_pallas_route_matches_xla(rng):
                           interpret=True)[None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# conv3x3_tiled: the teacher-width kernel (W-tiled + Cin/Cout channel tiles)
+# ---------------------------------------------------------------------------
+
+from collaborative_distillation_tpu.ops.conv import conv3x3 as _xla_conv3x3
+from collaborative_distillation_tpu.ops.pallas.conv import (
+    conv3x3_tiled,
+    pick_tiles_3x3,
+    try_conv3x3_tiled,
+)
+
+TILED_CASES = [
+    # (H, W, Cin, Cout, bh, bw, ci_t, co_t) — teacher shape classes scaled down
+    (8, 32, 64, 64, 4, 8, 64, 64),       # L1 class: multi-H/W blocks, C=64
+    (6, 32, 64, 128, 2, 16, 64, 128),    # width doubling (conv2_1 class)
+    (4, 16, 128, 128, 4, 8, 128, 128),   # L2 class
+    (4, 16, 256, 256, 2, 8, 128, 128),   # L3 class: nci=2, nco=2
+    (4, 16, 256, 512, 4, 16, 128, 256),  # co_t=256, single W block
+    (3, 24, 512, 64, 1, 8, 128, 64),     # decoder narrowing, bh=1, nci=4
+    (2, 16, 64, 64, 2, 16, 64, 64),      # single block: all edges in one
+]
+
+
+@pytest.mark.parametrize("case", TILED_CASES, ids=[str(c) for c in TILED_CASES])
+@pytest.mark.parametrize("relu", [True, False])
+def test_tiled_matches_xla_conv(case, relu, rng):
+    h, w, ci, co, bh, bw, ci_t, co_t = case
+    x = jnp.asarray(rng.standard_normal((1, h, w, ci)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+    ref = _xla_conv3x3(x, wgt, b, relu=relu)
+    got = conv3x3_tiled(x[0], wgt.reshape(9, ci, co), b, relu=relu,
+                        block_h=bh, block_w=bw, ci_tile=ci_t, co_tile=co_t,
+                        interpret=True)[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_bf16_matches_xla(rng):
+    h, w, ci, co = 6, 64, 128, 128  # bf16 sublane tile is 16
+    x = jnp.asarray(rng.standard_normal((1, h, w, ci)), jnp.bfloat16)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+    ref = _xla_conv3x3(x, wgt, b.astype(jnp.bfloat16), relu=True)
+    got = conv3x3_tiled(x[0], wgt.reshape(9, ci, co), b, relu=True,
+                        block_h=2, block_w=32, ci_tile=128, co_tile=128,
+                        interpret=True)[None]
+    err = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)))
+    scale = np.max(np.abs(np.asarray(ref, np.float32))) + 1e-6
+    assert err / scale < 2e-2, (err, scale)
+
+
+def test_tiled_picker_scope():
+    # teacher UHD shape classes all get a plan...
+    for h, w, ci, co in [(512, 5120, 128, 128),
+                         (256, 2560, 256, 256), (128, 1280, 512, 512),
+                         (128, 1280, 512, 256)]:
+        plan = pick_tiles_3x3(h, w, ci, co, 4)
+        assert plan is not None, (h, w, ci, co)
+        bh, bw, ci_t, co_t = plan
+        assert h % bh == 0 and w % bw == 0 and bw % 8 == 0
+        assert ci % ci_t == 0 and co % co_t == 0
+        from collaborative_distillation_tpu.ops.pallas.conv import (
+            _VMEM_BUDGET, _vmem_estimate_tiled)
+        assert _vmem_estimate_tiled(bh, bw, 8, ci_t, co_t, 4) <= _VMEM_BUDGET
+    # ...and out-of-scope shapes are declined (sub-lane-tile channels /
+    # misaligned W): Mosaic rejects sub-128 lane dims in the manual DMAs,
+    # so C=64 teacher layers stay on XLA (see pick_tiles_3x3 docstring)
+    assert pick_tiles_3x3(64, 64, 3, 64, 4) is None        # RGB input conv
+    assert pick_tiles_3x3(64, 64, 16, 16, 4) is None       # 16x student widths
+    assert pick_tiles_3x3(1024, 10240, 64, 64, 4) is None  # conv1_2 class
+    assert pick_tiles_3x3(512, 5120, 64, 128, 4) is None   # conv2_1 class
+    assert pick_tiles_3x3(64, 60, 128, 128, 4) is None     # W % sublane != 0
+    assert pick_tiles_3x3(1, 64, 128, 128, 4) is None      # H too small
+
+
+def test_tiled_router_gates(monkeypatch, rng):
+    x = jnp.zeros((1, 8, 32, 64), jnp.float32)
+    w = jnp.zeros((3, 3, 64, 64), jnp.float32)
+    # off-TPU: declined regardless of shape
+    assert try_conv3x3_tiled(x, w, None) is None
+    # kill switch honored even if the backend were TPU
+    monkeypatch.setenv("CD_TPU_PALLAS", "0")
+    assert try_conv3x3_tiled(x, w, None) is None
