@@ -93,6 +93,12 @@ def main():
     ap.add_argument("--slab_rows", type=int, default=4096)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--packed", default="auto", choices=["auto", "0", "1"],
+                    help="width packing: auto = the engine's per-mode default")
+    ap.add_argument("--synth", action="store_true",
+                    help="random-weight pyramid (timing is weight-agnostic; "
+                         "lets --mode original run without the external "
+                         "teacher downloads, like bench.py)")
     ap.add_argument("--logdir", default=None,
                     help="keep the raw trace here instead of a tmpdir")
     args = ap.parse_args()
@@ -102,8 +108,21 @@ def main():
     from collaborative_distillation_tpu.wct.engine import WCTEngine
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    eng = WCTEngine(mode=args.mode, slab_rows=args.slab_rows, packed=True,
-                    fused=True, dtype=dtype)
+    pyramid = None
+    if args.synth:
+        from collaborative_distillation_tpu.models.specs import (
+            decoder_spec, encoder_spec)
+        from collaborative_distillation_tpu.models.vgg import init_params
+        key = jax.random.key(0)
+        pyramid = {}
+        for s in (5, 4, 3, 2, 1):
+            key, k1, k2 = jax.random.split(key, 3)
+            es, ds = encoder_spec(args.mode, s), decoder_spec(args.mode, s)
+            pyramid[s] = {"enc_spec": es, "dec_spec": ds,
+                          "enc": init_params(es, k1), "dec": init_params(ds, k2)}
+    packed = None if args.packed == "auto" else bool(int(args.packed))
+    eng = WCTEngine(mode=args.mode, slab_rows=args.slab_rows, packed=packed,
+                    fused=True, dtype=dtype, pyramid=pyramid)
     kc, ks = jax.random.split(jax.random.key(0))
     cd = jax.random.uniform(kc, (1, args.h, args.w, 3), jnp.float32).astype(dtype)
     sdev = jax.random.uniform(ks, (1, 2048, 2048, 3), jnp.float32).astype(dtype)
