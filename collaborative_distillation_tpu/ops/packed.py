@@ -214,6 +214,19 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
             if co_pad:
                 y = y[..., :fco]
             return y[None]
+        # Wide packed maps no whole-row block can hold (the f=2-packed
+        # teacher's wp=5120 full-res rows at f32) route to the W-tiled
+        # kernel, pad-column semantics included; sub-128 channel counts are
+        # zero-padded there (lane-local in this pipeline — every neighbor
+        # op already holds the map C-minor). This is what makes the packed
+        # teacher pipeline viable: the XLA fallback below is the wide-conv
+        # lowering that crashes the remote TPU compiler at W >= 5120.
+        from .pallas.conv import try_conv3x3_tiled
+        y = try_conv3x3_tiled(
+            x, w_packed.reshape(3, 3, fc, fco), b_packed, relu=relu, f=f,
+            pad_channels=True)
+        if y is not None:
+            return y
     x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
     x = _reflect_pad_w_packed(x, f)
     # f32 accumulation is requested explicitly only for f32 inputs; for bf16

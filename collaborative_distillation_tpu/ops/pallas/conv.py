@@ -351,7 +351,7 @@ def conv3x3_lane128(x: jax.Array, plr: jax.Array, w9: jax.Array,
 
 
 def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
-    bh, wp, cin = x_ref.shape
+    bh, bw, cin = x_ref.shape
     # f32 inputs: HIGHEST — the 1x1 is HBM-bound (85 GFLOP vs a ~6 ms map
     # read at the largest cascade shape), so the extra MXU passes are free
     # and the WCT-apply keeps the exact-GEMM contract of the XLA path it
@@ -359,11 +359,11 @@ def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
     # A/B measured 2e-3 relative error). bf16 inputs keep the bf16 pass.
     prec = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    y = jnp.dot(x_ref[:].reshape(bh * wp, cin), w_ref[:], precision=prec,
+    y = jnp.dot(x_ref[:].reshape(bh * bw, cin), w_ref[:], precision=prec,
                 preferred_element_type=jnp.float32) + b_ref[0]
     if relu:
         y = jnp.maximum(y, 0)
-    o_ref[:] = y.reshape(bh, wp, o_ref.shape[-1]).astype(o_ref.dtype)
+    o_ref[:] = y.reshape(bh, bw, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
 def _vmem_estimate_1x1(bh: int, wp: int, itemsize: int) -> int:
@@ -392,16 +392,27 @@ def _vmem_estimate_1x1(bh: int, wp: int, itemsize: int) -> int:
     return int(analytic * 1.05)
 
 
-def pick_block_h_1x1(h: int, wp: int, itemsize: int) -> int | None:
-    for bh in (16, 8, 4, 2, 1):
-        if h % bh == 0 and _vmem_estimate_1x1(bh, wp, itemsize) <= _VMEM_BUDGET:
-            return bh
+def pick_block_h_1x1(h: int, wp: int, itemsize: int) -> tuple[int, int] | None:
+    """(block_h, block_w) for the 1x1 kernel, or None.
+
+    The 1x1 needs no halos, so W blocking is a free second axis: wide maps
+    (the f=2-packed teacher's wp=5120 full-res rows, which no whole-row
+    block fits) split into sublane-aligned column blocks instead of falling
+    back to XLA. Whole rows are preferred (fewer grid steps)."""
+    sub = 8 if itemsize == 4 else 16
+    bws = [wp] + [wp // d for d in (2, 4, 8)
+                  if wp % d == 0 and (wp // d) % sub == 0]
+    for bw in bws:
+        for bh in (16, 8, 4, 2, 1):
+            if h % bh == 0 and _vmem_estimate_1x1(bh, bw, itemsize) <= _VMEM_BUDGET:
+                return bh, bw
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "block_h", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "block_h", "block_w", "interpret"))
 def conv1x1_lane128(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
-                    relu: bool = False, block_h: int,
+                    relu: bool = False, block_h: int, block_w: int = 0,
                     interpret: bool = False) -> jax.Array:
     """1x1 conv (pure per-pixel matmul) on a (H, W, 128) map.
 
@@ -410,23 +421,27 @@ def conv1x1_lane128(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
     otherwise runs as a convolution in its exotic {3,0,2,1} layout — forcing
     ~12 ms transpose copies against the Pallas 3x3 calls on either side.
     Channels must be lane-dense (pad to 128 outside, like packed_conv3x3).
+    ``block_w``: column-block size (0 = whole rows); a 1x1 has no halos, so
+    W blocking is exact — it is what fits the f=2-packed teacher's wp=5120
+    full-res maps.
     """
     h, wp, cin = x.shape
     cout = w.shape[-1]
+    bw = block_w or wp
     assert cin == _LANES and cout == _LANES, (x.shape, w.shape)
-    assert h % block_h == 0, (h, block_h)
+    assert h % block_h == 0 and wp % bw == 0, (x.shape, block_h, bw)
     bias = (jnp.zeros((1, cout), jnp.float32) if b is None
             else b.reshape(1, cout).astype(jnp.float32))
     return pl.pallas_call(
         functools.partial(_conv1x1_kernel, relu=relu),
-        grid=(h // block_h,),
+        grid=(h // block_h, wp // bw),
         in_specs=[
-            pl.BlockSpec((block_h, wp, cin), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_h, bw, cin), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_h, wp, cout), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_h, bw, cout), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, wp, cout), x.dtype),
         name="conv1x1_lane128",
@@ -456,15 +471,16 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
     sub = 8 if x.dtype.itemsize == 4 else 16
     if wp % sub:
         return None
-    bh = pick_block_h_1x1(h, wp, x.dtype.itemsize)
-    if bh is None:
+    plan = pick_block_h_1x1(h, wp, x.dtype.itemsize)
+    if plan is None:
         return None
+    bh, bw = plan
     if not kernel_compiles(
             conv1x1_lane128,
             (jax.ShapeDtypeStruct((h, wp, _LANES), x.dtype),
              jax.ShapeDtypeStruct((_LANES, _LANES), x.dtype),
              jax.ShapeDtypeStruct((_LANES,), jnp.float32)),
-            relu=relu, block_h=bh):
+            relu=relu, block_h=bh, block_w=bw):
         return None
     ci_pad, co_pad = -fc % _LANES, -fco % _LANES
     xk = x[0]
@@ -479,7 +495,8 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
             bk = jnp.pad(bk, (0, co_pad))
     if bk is None:
         bk = jnp.zeros((_LANES,), jnp.float32)
-    y = conv1x1_lane128(xk, wk, bk.astype(jnp.float32), relu=relu, block_h=bh)
+    y = conv1x1_lane128(xk, wk, bk.astype(jnp.float32), relu=relu,
+                        block_h=bh, block_w=bw)
     if co_pad:
         y = y[..., :fco]
     return y[None]
@@ -519,13 +536,14 @@ def _vmem_estimate_tiled(bh: int, bw: int, sub: int, ci_t: int, co_t: int,
                          itemsize: int) -> int:
     li, lo = _lanes(ci_t), _lanes(co_t)
     win = 2 * (bh + 2) * (bw + 2 * sub) * li * itemsize
+    pstage = 2 * (bh + 2) * _EDGE * li * itemsize
     stage = (bh + 2) * bw * li * itemsize
     acc = bh * bw * lo * 4
     out = 2 * bh * bw * lo * itemsize
     wts = 2 * 9 * li * lo * itemsize
     # 15% Mosaic-stack margin (the round-3 lesson: model the compiler's
     # overhead, don't trust the raw buffer sum); kernel_compiles() backstops.
-    return int((win + stage + acc + out + wts) * 1.15)
+    return int((win + pstage + stage + acc + out + wts) * 1.15)
 
 
 def pick_tiles_3x3(h: int, w: int, cin: int, cout: int,
@@ -538,9 +556,10 @@ def pick_tiles_3x3(h: int, w: int, cin: int, cout: int,
         return None
     # Mosaic rejects sub-128 lane dims in the manual DMAs ("slice shape
     # along dimension 2 must be aligned to tiling (128)"), so only whole-
-    # lane-tile channel counts route here; the C<=64 teacher layers (conv1_*,
-    # conv2_1 and decoder mirrors) stay on the XLA lowering, and the packed
-    # student pipeline owns every compressed width.
+    # lane-tile channel counts reach the kernel; sub-dense counts are
+    # zero-padded to the tile by try_conv3x3_tiled(pad_channels=True) when
+    # the surrounding pipeline holds maps C-minor (the packed pipeline),
+    # and stay on XLA otherwise.
     if cin % 128 or cout % 128:
         return None
     ci_t = 128
@@ -564,12 +583,12 @@ def pick_tiles_3x3(h: int, w: int, cin: int, cout: int,
     return fallback
 
 
-def _tiled_kernel(x_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
+def _tiled_kernel(x_hbm, plr_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
                   h: int, w: int, sub: int, ci_t: int, nci: int, relu: bool):
     if nci > 1:
-        xwin, xs, acc, sems = refs
+        xwin, pstage, xs, acc, sems = refs
     else:
-        xwin, xs, sems = refs
+        xwin, pstage, xs, sems = refs
         acc = None
     hb, wb, co, ci = (pl.program_id(i) for i in range(4))
     nh, nw, nco = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
@@ -581,7 +600,7 @@ def _tiled_kernel(x_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
         # mirrored interior row) x 3 col ranges (core + sub-wide aligned halo
         # chunks; at W edges the chunk content is a placeholder re-read of a
         # valid aligned range — only its tap column is read, and that column
-        # is rewritten with the reflect column in-kernel below).
+        # is rewritten with the precomputed pad column in-kernel below).
         top = jnp.where(hb2 == 0, 1, hb2 * bh - 1)
         bot = jnp.where(hb2 == nh - 1, h - 2, hb2 * bh + bh)
         # W offsets are computed in sublane-tile units and multiplied out so
@@ -608,6 +627,13 @@ def _tiled_kernel(x_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
                 out.append(pltpu.make_async_copy(
                     src, xwin.at[slot, rd, cdst], sems.at[slot, k]))
                 k += 1
+        # pad columns for the same padded row range (left/right image-edge
+        # columns; packed-reflect-aware — see make_pad_columns)
+        psrc = (plr_hbm.at[pl.ds(hb2 * bh, bh + 2)] if nci == 1
+                else plr_hbm.at[pl.ds(hb2 * bh, bh + 2), :,
+                                pl.ds(ci2 * ci_t, ci_t)])
+        out.append(pltpu.make_async_copy(psrc, pstage.at[slot],
+                                         sems.at[slot, k]))
         return out
 
     @pl.when(flat == 0)
@@ -630,15 +656,16 @@ def _tiled_kernel(x_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
     for d in dmas(slot, hb, wb, ci):
         d.wait()
 
-    # reflect columns at the true image edges (single-column VPU stores)
+    # compose the precomputed pad columns at the true image edges
+    # (single-column VPU stores; packed maps get the packed-reflect phase
+    # structure, f=1 maps the plain reflection — make_pad_columns builds both)
     @pl.when(wb == 0)
     def _():
-        xwin[slot, :, sub - 1:sub, :] = xwin[slot, :, sub + 1:sub + 2, :]
+        xwin[slot, :, sub - 1:sub, :] = pstage[slot, :, 0:1, :]
 
     @pl.when(wb == nw - 1)
     def _():
-        xwin[slot, :, sub + bw:sub + bw + 1, :] = \
-            xwin[slot, :, sub + bw - 2:sub + bw - 1, :]
+        xwin[slot, :, sub + bw:sub + bw + 1, :] = pstage[slot, :, 1:2, :]
 
     xb = xwin[slot]  # (bh+2, bw+2*sub, ci_t)
     co_t = o_ref.shape[-1]
@@ -673,19 +700,26 @@ def _tiled_kernel(x_hbm, w_ref, b_ref, o_ref, *refs, bh: int, bw: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "relu", "block_h", "block_w", "ci_tile", "co_tile", "interpret"))
-def conv3x3_tiled(x: jax.Array, w9: jax.Array, b: jax.Array | None, *,
+def conv3x3_tiled(x: jax.Array, plr: jax.Array, w9: jax.Array,
+                  b: jax.Array | None, *,
                   relu: bool = True, block_h: int, block_w: int,
                   ci_tile: int, co_tile: int,
                   interpret: bool = False) -> jax.Array:
     """Reflect-padded 3x3 conv on an UNPADDED (H, W, Cin) map -> (H, W, Cout),
     tiled over H, W, Cin and Cout (teacher widths; see the section comment).
 
+    ``plr``: the (H+2, 16, Cin) pad-column array from :func:`make_pad_columns`
+    — plain reflection columns for unpacked maps (f=1), the packed-reflect
+    phase structure for width-packed maps (f>1), so this kernel serves both
+    the unpacked teacher cascade and the packed pipeline's wide shapes the
+    whole-row kernel cannot hold.
     ``w9``: (9, Cin, Cout) tap-major (ky*3+kx); ``b``: (Cout,) or None.
     f32 accumulation on the MXU across all Cin tiles; emits ``x.dtype``.
     """
     h, w_, cin = x.shape
     _, wcin, cout = w9.shape
     assert w9.shape[0] == 9 and wcin == cin, (x.shape, w9.shape)
+    assert plr.shape == (h + 2, _EDGE, cin), (plr.shape, x.shape)
     assert h % block_h == 0 and w_ % block_w == 0, (x.shape, block_h, block_w)
     assert cin % ci_tile == 0 and cout % co_tile == 0, (cin, cout, ci_tile, co_tile)
     sub = 8 if x.dtype.itemsize == 4 else 16
@@ -696,16 +730,18 @@ def conv3x3_tiled(x: jax.Array, w9: jax.Array, b: jax.Array | None, *,
                                w=w_, sub=sub, ci_t=ci_tile, nci=nci, relu=relu)
     scratch = [
         pltpu.VMEM((2, block_h + 2, block_w + 2 * sub, ci_tile), x.dtype),
+        pltpu.VMEM((2, block_h + 2, _EDGE, ci_tile), x.dtype),
         pltpu.VMEM((block_h + 2, block_w, ci_tile), x.dtype),
     ]
     if nci > 1:
         scratch.append(pltpu.VMEM((block_h * block_w, co_tile), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, 9)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 10)))
     return pl.pallas_call(
         kernel,
         grid=(h // block_h, w_ // block_w, cout // co_tile, nci),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # pad columns, HBM
             pl.BlockSpec((9, ci_tile, co_tile),
                          lambda hb, wb, co, ci: (0, ci, co),
                          memory_space=pltpu.VMEM),
@@ -719,14 +755,25 @@ def conv3x3_tiled(x: jax.Array, w9: jax.Array, b: jax.Array | None, *,
         scratch_shapes=scratch,
         name="conv3x3_tiled",
         interpret=interpret,
-    )(x, w9.astype(x.dtype), bias)
+    )(x, plr.astype(x.dtype), w9.astype(x.dtype), bias)
 
 
 def try_conv3x3_tiled(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
-                      relu: bool = True) -> jax.Array | None:
-    """Router for the tiled kernel: unpacked NHWC single-image reflect-pad
-    3x3 convs (the teacher cascade's shape universe). Returns the
+                      relu: bool = True, f: int = 1,
+                      pad_channels: bool = False) -> jax.Array | None:
+    """Router for the tiled kernel: NHWC single-image reflect-pad 3x3 convs
+    — the unpacked teacher cascade's shape universe (f=1), plus the width-
+    packed pipeline's wide maps the whole-row kernel cannot hold (f>1, e.g.
+    the f=2-packed teacher's wp=5120 full-res rows). Returns the
     (1, H, W, Cout) result or None (caller falls back to the XLA lowering).
+
+    ``pad_channels``: zero-pad sub-128 Cin/Cout to the lane tile around the
+    kernel (zero weight rows/cols keep the math exact). Only the packed
+    pipeline requests this — there the surrounding ops already hold the map
+    in the C-minor (H, W, C) layout, so the pad is one lane-local copy; on
+    an unpacked map XLA typically holds skinny-C tensors in W-minor layouts
+    where the same pad would force a full relayout (the r4 teacher-trace
+    lesson: layout coherence, not per-op speed, decides the win).
 
     Opt-in from inference paths only (pallas_call has no autodiff rule, so
     training call sites never route here — ops/conv.py:conv3x3 ``pallas``
@@ -738,18 +785,37 @@ def try_conv3x3_tiled(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
             and jax.default_backend() == "tpu"
             and x.dtype in (jnp.float32, jnp.bfloat16)):
         return None
-    tiles = pick_tiles_3x3(h, w_, cin, cout, x.dtype.itemsize)
+    ci_pad = (-cin % _LANES) if pad_channels else 0
+    co_pad = (-cout % _LANES) if pad_channels else 0
+    ci, co = cin + ci_pad, cout + co_pad
+    tiles = pick_tiles_3x3(h, w_, ci, co, x.dtype.itemsize)
     if tiles is None:
         return None
     bh, bw, ci_t, co_t = tiles
     if not kernel_compiles(
             conv3x3_tiled,
-            (jax.ShapeDtypeStruct((h, w_, cin), x.dtype),
-             jax.ShapeDtypeStruct((9, cin, cout), x.dtype),
-             jax.ShapeDtypeStruct((cout,), jnp.float32)),
+            (jax.ShapeDtypeStruct((h, w_, ci), x.dtype),
+             jax.ShapeDtypeStruct((h + 2, _EDGE, ci), x.dtype),
+             jax.ShapeDtypeStruct((9, ci, co), x.dtype),
+             jax.ShapeDtypeStruct((co,), jnp.float32)),
             relu=relu, block_h=bh, block_w=bw, ci_tile=ci_t, co_tile=co_t):
         return None
+    xk = x[0]
+    # pad columns reflect the ORIGINAL packed phase structure (fc = f*C) —
+    # build them before any channel padding, then pad their lanes to match
+    plr = make_pad_columns(xk, f)
     w9 = w.reshape(9, cin, cout)
     bk = None if b is None else b.reshape(cout).astype(jnp.float32)
-    return conv3x3_tiled(x[0], w9, bk, relu=relu, block_h=bh, block_w=bw,
-                         ci_tile=ci_t, co_tile=co_t)[None]
+    if ci_pad:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, ci_pad)))
+        plr = jnp.pad(plr, ((0, 0), (0, 0), (0, ci_pad)))
+        w9 = jnp.pad(w9, ((0, 0), (0, ci_pad), (0, 0)))
+    if co_pad:
+        w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, co_pad)))
+        if bk is not None:
+            bk = jnp.pad(bk, (0, co_pad))
+    y = conv3x3_tiled(xk, plr, w9, bk, relu=relu, block_h=bh, block_w=bw,
+                      ci_tile=ci_t, co_tile=co_t)
+    if co_pad:
+        y = y[..., :cout]
+    return y[None]

@@ -226,10 +226,21 @@ class WCTEngine:
         self._cache_lock = threading.Lock()
         # spatial tiling over a 'space' mesh axis (UHD path)
         if packed is None:
-            # width packing pays on the skinny 16x students; the teacher's
-            # wide packed kernels crash the TPU compiler at large W (observed
-            # with mode='original' at >=5120 px)
-            packed = mode != "original"
+            # Width packing pays everywhere now: the 16x students pack to
+            # lane density (their whole point), and the teacher packs f=2 at
+            # full res so its C=64 maps run lane-dense through the Pallas
+            # kernels too. Unpacked teacher maps let XLA pick W-minor
+            # layouts that force a full-map relayout around every Pallas
+            # call (r4 teacher trace: 4.3 s of "elementwise fusions" that
+            # were really layout conversions). The historical blocker — the
+            # XLA wide packed-conv lowering crashing the remote TPU
+            # compiler at W >= 5120 — no longer applies: those shapes route
+            # to the W-tiled Pallas kernel (ops/pallas/conv.py:
+            # conv3x3_tiled), never the XLA wide conv. CD_TPU_PACKED=0
+            # forces unpacked for A/B or as an escape hatch.
+            import os as _os
+            packed = _os.environ.get("CD_TPU_PACKED", "1").strip().lower() \
+                not in ("0", "off", "false")
         # shingled slab streaming for single-chip ultra-resolution inputs
         self.slab = None
         self._fused_slab = None

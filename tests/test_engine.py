@@ -170,11 +170,13 @@ def test_engine_pwct_path(weights_root, rng):
     assert not np.allclose(out_pwct, out_std)
 
 
-def test_teacher_mode_auto_disables_packed():
-    """Regression pin for the wide-W packed-conv TPU compiler crash: packed
-    kernels are auto-off for mode='original' (crash observed at >= 5120 px
-    wide teacher convs through the remote compiler) and auto-on for the
-    skinny 16x students, unless the caller overrides explicitly."""
+def test_packed_default_and_escape_hatch(monkeypatch):
+    """Width packing defaults ON for every mode — including the teacher,
+    whose f=2-packed full-res maps now ride the W-tiled Pallas kernel
+    instead of the XLA wide-conv lowering that used to crash the remote
+    TPU compiler at W >= 5120 (the r1-r3 reason packing was auto-off for
+    mode='original'). CD_TPU_PACKED=0 and packed=False both force the
+    unpacked pipeline (A/B + escape hatch)."""
     import jax
 
     from collaborative_distillation_tpu.models import (
@@ -188,15 +190,20 @@ def test_teacher_mode_auto_disables_packed():
                     "enc": init_params(espec, jax.random.key(0)),
                     "dec": init_params(dspec, jax.random.key(1))}}
 
+    monkeypatch.delenv("CD_TPU_PACKED", raising=False)
     teacher = WCTEngine(mode="original", stages=(1,), pyramid=pyr("original"),
                         slab_rows=32)
-    assert teacher.slab.packed is False
+    assert teacher.slab.packed is True
     student = WCTEngine(mode="16x", stages=(1,), pyramid=pyr("16x"),
                         slab_rows=32)
     assert student.slab.packed is True
     forced = WCTEngine(mode="original", stages=(1,), pyramid=pyr("original"),
-                       slab_rows=32, packed=True)
-    assert forced.slab.packed is True
+                       slab_rows=32, packed=False)
+    assert forced.slab.packed is False
+    monkeypatch.setenv("CD_TPU_PACKED", "0")
+    env_off = WCTEngine(mode="original", stages=(1,), pyramid=pyr("original"),
+                        slab_rows=32)
+    assert env_off.slab.packed is False
 
 
 def test_style_blend_degenerate_equals_single(rng):

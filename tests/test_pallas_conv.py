@@ -120,11 +120,15 @@ def test_1x1_picker_anchored_to_measured_compiler_point():
     est = _vmem_estimate_1x1(4, 1280, 4)
     assert est >= measured, (est, measured)          # never under-predict it
     assert est <= int(measured * 1.02), est          # calibrated, not padded
-    # consequences at the UHD cascade shapes:
-    assert pick_block_h_1x1(4096, 1280, 4) == 2      # the r3 crash shape
-    assert pick_block_h_1x1(4096, 1280, 2) == 4      # bf16: one less pass
-    assert pick_block_h_1x1(4096, 2560, 4) == 1      # full-res f32 stage-1
-    assert pick_block_h_1x1(512, 1280, 4) == 2
+    # consequences at the UHD cascade shapes (whole rows preferred):
+    assert pick_block_h_1x1(4096, 1280, 4) == (2, 1280)  # the r3 crash shape
+    assert pick_block_h_1x1(4096, 1280, 2) == (4, 1280)  # bf16: one less pass
+    assert pick_block_h_1x1(4096, 2560, 4) == (1, 2560)  # full-res f32 stage-1
+    assert pick_block_h_1x1(512, 1280, 4) == (2, 1280)
+    # wp=5120 (f=2-packed teacher full res): no whole-row block fits f32;
+    # the free W axis splits instead of losing the shape to XLA
+    bh, bw = pick_block_h_1x1(4096, 5120, 4)
+    assert bw < 5120 and 5120 % bw == 0 and bw % 8 == 0
 
 
 @pytest.mark.quick
@@ -172,7 +176,7 @@ def test_try_conv1x1_routing(monkeypatch, rng):
     # and unpadding logic is exercised on the CPU test platform
     monkeypatch.setattr(conv, "kernel_compiles", lambda *a, **k: True)
 
-    def fake_kernel(xk, wk, bk, *, relu, block_h, interpret=False):
+    def fake_kernel(xk, wk, bk, *, relu, block_h, block_w=0, interpret=False):
         y = xk.reshape(-1, xk.shape[-1]) @ wk + bk.reshape(1, -1)
         if relu:
             y = jnp.maximum(y, 0)
@@ -222,8 +226,8 @@ def test_wct_apply_pallas_route_matches_xla(rng):
     beta = a * (sm - cm @ t.T)
     m = jnp.kron(jnp.eye(f), m)
     beta = jnp.tile(beta, f)
-    bh = pick_block_h_1x1(16, 32, 4)
-    got = conv1x1_lane128(xp[0], m, beta, relu=False, block_h=bh,
+    bh, bw = pick_block_h_1x1(16, 32, 4)
+    got = conv1x1_lane128(xp[0], m, beta, relu=False, block_h=bh, block_w=bw,
                           interpret=True)[None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -260,7 +264,8 @@ def test_tiled_matches_xla_conv(case, relu, rng):
     wgt = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, jnp.float32)
     b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
     ref = _xla_conv3x3(x, wgt, b, relu=relu)
-    got = conv3x3_tiled(x[0], wgt.reshape(9, ci, co), b, relu=relu,
+    got = conv3x3_tiled(x[0], make_pad_columns(x[0], 1),
+                        wgt.reshape(9, ci, co), b, relu=relu,
                         block_h=bh, block_w=bw, ci_tile=ci_t, co_tile=co_t,
                         interpret=True)[None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -273,7 +278,8 @@ def test_tiled_bf16_matches_xla(rng):
     wgt = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
     ref = _xla_conv3x3(x, wgt, b.astype(jnp.bfloat16), relu=True)
-    got = conv3x3_tiled(x[0], wgt.reshape(9, ci, co), b, relu=True,
+    got = conv3x3_tiled(x[0], make_pad_columns(x[0], 1),
+                        wgt.reshape(9, ci, co), b, relu=True,
                         block_h=2, block_w=32, ci_tile=128, co_tile=128,
                         interpret=True)[None]
     err = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)))
@@ -313,3 +319,71 @@ def test_tiled_router_gates(monkeypatch, rng):
     # kill switch honored even if the backend were TPU
     monkeypatch.setenv("CD_TPU_PALLAS", "0")
     assert try_conv3x3_tiled(x, w, None) is None
+
+
+PACKED_TILED_CASES = [
+    # (H, Wp, Cin, Cout, f, bh, bw) — the packed-pipeline shapes that spill
+    # past the whole-row kernel: the f=2-packed teacher's wide rows
+    (6, 32, 64, 64, 2, 2, 16),    # conv1_2 class (fc=fco=128)
+    (4, 32, 64, 64, 2, 4, 8),     # same, multi-W blocks
+    (2, 16, 64, 64, 2, 2, 16),    # single block: both W-edge pads in one
+    (6, 24, 16, 16, 8, 2, 8),     # student full-res class (fc=128)
+    (4, 16, 32, 32, 4, 4, 16),    # f=4 mid class
+]
+
+
+@pytest.mark.parametrize("case", PACKED_TILED_CASES,
+                         ids=[str(c) for c in PACKED_TILED_CASES])
+def test_tiled_packed_matches_xla_packed_conv(case, rng):
+    """conv3x3_tiled with make_pad_columns(f) == the XLA packed conv: the
+    W-tiled kernel's pad-column route must reproduce the packed-reflect
+    phase structure at the true image edges (this is the path that makes
+    the packed teacher pipeline viable at wp=5120)."""
+    h, wp, ci, co, f, bh, bw = case
+    fc, fco = f * ci, f * co
+    x = jnp.asarray(rng.standard_normal((1, h, wp, fc)), jnp.float32)
+    w = rng.standard_normal((3, 3, ci, co)).astype(np.float32) * 0.2
+    b = rng.standard_normal(co).astype(np.float32)
+    wpk, bpk = pack_conv3x3_weights(w, b, f)
+    ref = _xla_packed_conv(x, wpk, bpk, f, relu=True)
+    got = conv3x3_tiled(x[0], make_pad_columns(x[0], f),
+                        jnp.asarray(wpk).reshape(9, fc, fco),
+                        jnp.asarray(bpk), relu=True,
+                        block_h=bh, block_w=bw, ci_tile=fc, co_tile=fco,
+                        interpret=True)[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_router_pads_channels(monkeypatch, rng):
+    """pad_channels=True: sub-128 Cin/Cout are zero-padded to the lane tile
+    (weights and pad columns included) and the result unpadded — exercised
+    with the kernel swapped for an interpret-mode call on CPU."""
+    from collaborative_distillation_tpu.ops.pallas import conv
+
+    f, ci, co = 2, 32, 64   # fc=64 -> pad to 128; fco=128 exact
+    x = jnp.asarray(rng.standard_normal((1, 6, 32, f * ci)), jnp.float32)
+    w = rng.standard_normal((3, 3, ci, co)).astype(np.float32) * 0.2
+    b = rng.standard_normal(co).astype(np.float32)
+    wpk, bpk = pack_conv3x3_weights(w, b, f)
+    ref = _xla_packed_conv(x, wpk, bpk, f, relu=True)
+
+    monkeypatch.setattr(conv.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(conv, "kernel_compiles", lambda *a, **k: True)
+    real = conv.conv3x3_tiled
+
+    def interp_kernel(*args, **kw):
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    monkeypatch.setattr(conv, "conv3x3_tiled", interp_kernel)
+    got = conv.try_conv3x3_tiled(
+        x, jnp.asarray(wpk).reshape(3, 3, f * ci, f * co), jnp.asarray(bpk),
+        relu=True, f=f, pad_channels=True)
+    assert got is not None and got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # without pad_channels the sub-dense shape is declined
+    assert conv.try_conv3x3_tiled(
+        x, jnp.asarray(wpk).reshape(3, 3, f * ci, f * co), jnp.asarray(bpk),
+        relu=True, f=f) is None
