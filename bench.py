@@ -230,8 +230,9 @@ def main():
 
     # teacher (original) mode on-device: the reference's original models
     # cannot fit UHD on a 12 GB GPU at all (README.md:2) — running them at
-    # UHD on one chip is a headline of its own. Packed kernels are auto-off
-    # here (wide-W compiler crash; see engine packed=None logic + test).
+    # UHD on one chip is a headline of its own. Since r4 the teacher runs
+    # width-packed (f=2 at full res) through the W-tiled Pallas kernels —
+    # the layout-coherence fix that took it 8.83 -> ~4.1 s.
     try:
         opyr = None
         if not os.path.isdir(os.path.join(
@@ -263,6 +264,27 @@ def main():
         log(f"UHD original-mode on-device: {besto:.2f}s = "
             f"{results['uhd_original_device_mpix_s']} MPix/s")
         del engo
+        # teacher bf16: the wide teacher convs ARE MXU-bound once packed, so
+        # bf16 pays ~1.4x here (unlike the students' bandwidth-bound ~1.05x
+        # pre-Pallas). A few stage-3 bf16 tiled kernels crash the remote
+        # compiler; the AOT probe routes those shapes to XLA automatically.
+        cdo16 = cd.astype(jnp.bfloat16)
+        sdevo16 = sdev.astype(jnp.bfloat16)
+        engo16 = WCTEngine(mode="original", slab_rows=1024, fused=True,
+                           pyramid=opyr, dtype=jnp.bfloat16)
+        t0 = time.time()
+        force(engo16.stylize_device(cdo16, sdevo16, 1.0, style_key="bench-devo16"))
+        log(f"original-mode bf16 warm-up (compile): {time.time() - t0:.1f}s")
+        besto16 = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(engo16.stylize_device(cdo16, sdevo16, 1.0,
+                                        style_key="bench-devo16"))
+            besto16 = min(besto16, time.time() - t0)
+        results["uhd_original_device_s_bf16"] = round(besto16, 2)
+        log(f"UHD original-mode on-device bf16: {besto16:.2f}s = "
+            f"{round(mpix / besto16, 2)} MPix/s")
+        del engo16, cdo16, sdevo16
     except Exception as e:  # noqa: BLE001 — optional metric
         log(f"original-mode bench skipped: {e}")
 

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CATEGORIES = [
-    ("pallas conv3x3", re.compile(r"conv3x3_lane128")),
+    ("pallas conv3x3", re.compile(r"conv3x3_lane128|conv3x3_tiled")),
     ("pallas conv1x1", re.compile(r"conv1x1_lane128")),
     ("pallas stats", re.compile(r"sum_gram|stats_kernel")),
     ("xla conv", re.compile(r"^%?convolution|conv_general")),
@@ -43,6 +43,12 @@ CATEGORIES = [
     ("fusion (elementwise)", re.compile(r"^%?(fusion|loop_|input_)")),
     ("dot/eigh", re.compile(r"dot|eigh|cholesky|triangular")),
 ]
+
+# container events whose duration double-counts their children (the whole
+# program, the scan loops, host-side wrappers) — excluded from totals so
+# category percentages are leaf-only
+_CONTAINER = re.compile(
+    r"^(jit_|while\.|\$|np\.asarray|body\.|condition\.)")
 
 
 def categorize(name: str) -> str:
@@ -79,6 +85,8 @@ def device_op_totals(logdir: str):
             continue
         # op tracks are "XLA Ops"/"Steps"/etc; keep the op-level track only
         if "op" not in tn.lower() and "xla" not in tn.lower():
+            continue
+        if _CONTAINER.match(e["name"]):
             continue
         totals[e["name"]] += e["dur"]
         counts[e["name"]] += 1
