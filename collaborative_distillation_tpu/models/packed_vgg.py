@@ -232,15 +232,18 @@ def packed_wct_apply(xp: jax.Array, f: int, c: int, t: jax.Array,
         m = jnp.kron(jnp.eye(f, dtype=m.dtype), m)
         beta = jnp.tile(beta, f)
     fc = f * c
-    if xp.ndim == 4 and fc == 128:
-        # lane-dense maps route to the Pallas per-pixel matmul: XLA lowers
-        # the 1x1 conv in its exotic {3,0,2,1} feature layout, which both
-        # costs ~8 ms per full-map apply at UHD slab scale and forces
+    if xp.ndim == 4 and fc <= 128:
+        # one-lane-tile maps route to the Pallas per-pixel matmul: XLA
+        # lowers the 1x1 conv in its exotic {3,0,2,1} feature layout, which
+        # both costs ~8 ms per full-map apply at UHD slab scale and forces
         # relayout copies against the Pallas conv3x3 calls around it (r3
-        # trace: 42 ms of conv + the copies across the 5 stages). M/beta
-        # are formed in f32 above; the kernel accumulates f32 on the MXU
-        # and emits xp.dtype — same contract as the XLA branches below.
-        # Routing (gates, VMEM block pick, compile probe) is the shared
+        # trace: 42 ms of conv + the copies across the 5 stages; the fc=96
+        # stage-1 apply it missed under the old fc==128 gate was the single
+        # hottest op of the r4 student trace at 64 ms — the kernel takes
+        # sub-dense widths natively, no pad/slice). M/beta are formed in
+        # f32 above; the kernel accumulates f32 on the MXU and emits
+        # xp.dtype — same contract as the XLA branches below. Routing
+        # (gates, VMEM block pick, compile probe) is the shared
         # try_conv1x1_pallas; None means "use the XLA branches below".
         from ..ops.pallas.conv import try_conv1x1_pallas
         y = try_conv1x1_pallas(

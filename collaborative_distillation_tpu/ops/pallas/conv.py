@@ -424,11 +424,20 @@ def conv1x1_lane128(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
     ``block_w``: column-block size (0 = whole rows); a 1x1 has no halos, so
     W blocking is exact — it is what fits the f=2-packed teacher's wp=5120
     full-res maps.
+
+    Sub-dense channel counts (96/64/24 — the 16x stage-1 boundary widths)
+    are accepted natively: unlike the 3x3 kernels, every buffer here moves
+    through BlockSpec pipelines (no manual DMA), and Mosaic handles sub-
+    lane-tile minor dims there the same way the fused stats kernel already
+    relies on (ops/pallas/stats.py). That removes the 128-lane zero-pad +
+    slice-back copies entirely for the stage-1 WCT apply.
     """
     h, wp, cin = x.shape
     cout = w.shape[-1]
     bw = block_w or wp
-    assert cin == _LANES and cout == _LANES, (x.shape, w.shape)
+    sub = 8 if x.dtype.itemsize == 4 else 16
+    assert cin <= _LANES and cin % sub == 0, (x.shape,)
+    assert cout <= _LANES and cout % sub == 0, (w.shape,)
     assert h % block_h == 0 and wp % bw == 0, (x.shape, block_h, bw)
     bias = (jnp.zeros((1, cout), jnp.float32) if b is None
             else b.reshape(1, cout).astype(jnp.float32))
@@ -461,8 +470,10 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
     one lane tile, misaligned W, no VMEM-feasible block, or the AOT compile
     probe rejected the shape) — the caller then uses the XLA conv lowering.
 
-    Channels are zero-padded to the 128-lane tile around the kernel (Mosaic
-    needs whole lane tiles; zero weight columns keep the math exact)."""
+    Sub-lane-tile channel counts that are sublane-aligned (96/64/24 at f32)
+    run natively — no pad, no slice (see conv1x1_lane128); anything else
+    is zero-padded to the 128-lane tile around the kernel (zero weight
+    columns keep the math exact)."""
     n, h, wp, fc = x.shape
     fco = w.shape[-1]
     if not (n == 1 and fc <= _LANES and fco <= _LANES
@@ -475,14 +486,16 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
     if plan is None:
         return None
     bh, bw = plan
+    ci_pad = 0 if fc % sub == 0 else -fc % _LANES
+    co_pad = 0 if fco % sub == 0 else -fco % _LANES
+    ci, co = fc + ci_pad, fco + co_pad
     if not kernel_compiles(
             conv1x1_lane128,
-            (jax.ShapeDtypeStruct((h, wp, _LANES), x.dtype),
-             jax.ShapeDtypeStruct((_LANES, _LANES), x.dtype),
-             jax.ShapeDtypeStruct((_LANES,), jnp.float32)),
+            (jax.ShapeDtypeStruct((h, wp, ci), x.dtype),
+             jax.ShapeDtypeStruct((ci, co), x.dtype),
+             jax.ShapeDtypeStruct((co,), jnp.float32)),
             relu=relu, block_h=bh, block_w=bw):
         return None
-    ci_pad, co_pad = -fc % _LANES, -fco % _LANES
     xk = x[0]
     wk = w.reshape(fc, fco)
     bk = None if b is None else b.reshape(fco)
@@ -494,7 +507,7 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
         if bk is not None:
             bk = jnp.pad(bk, (0, co_pad))
     if bk is None:
-        bk = jnp.zeros((_LANES,), jnp.float32)
+        bk = jnp.zeros((co,), jnp.float32)
     y = conv1x1_lane128(xk, wk, bk.astype(jnp.float32), relu=relu,
                         block_h=bh, block_w=bw)
     if co_pad:

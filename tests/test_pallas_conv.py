@@ -233,6 +233,22 @@ def test_wct_apply_pallas_route_matches_xla(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_conv1x1_subdense_native(rng):
+    """Sub-lane-tile channel counts (the 16x stage-1 boundary: fc=96) run
+    through the 1x1 kernel natively — no 128-pad, no slice — like the fused
+    stats kernel's C%8 contract. Pinned against the plain matmul."""
+    from collaborative_distillation_tpu.ops.pallas.conv import conv1x1_lane128
+    for fc, fco in [(96, 96), (24, 96), (96, 24), (64, 128)]:
+        x = jnp.asarray(rng.standard_normal((8, 16, fc)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((fc, fco)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(fco), jnp.float32)
+        got = conv1x1_lane128(x, w, b, relu=True, block_h=4, block_w=16,
+                              interpret=True)
+        ref = jnp.maximum(jnp.einsum("hwc,cd->hwd", x, w) + b, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # conv3x3_tiled: the teacher-width kernel (W-tiled + Cin/Cout channel tiles)
 # ---------------------------------------------------------------------------
