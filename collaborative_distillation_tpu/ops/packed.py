@@ -176,8 +176,20 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
     if (n == 1 and _pallas_conv_enabled()
             and jax.default_backend() == "tpu"):
         from .pallas.conv import (_LANES, conv3x3_lane128, kernel_compiles,
-                                  make_pad_columns, supported)
+                                  make_pad_columns, supported,
+                                  try_conv3x3_tiled)
         plan = supported(h, wp, fc, fco, x.dtype.itemsize)
+        if plan is not None and not plan[1]:
+            # the whole-row kernel only fits this shape in its LAZY variant
+            # (no shift scratch; Mosaic re-materializes the sublane shifts
+            # per dot) — the W-tiled kernel with staged shifts beats it
+            # (measured 23.0 vs 32.2 ms at the f32 full-res stage-1 shape):
+            # prefer tiled, keep lazy as the fallback
+            y = try_conv3x3_tiled(
+                x, w_packed.reshape(3, 3, fc, fco), b_packed, relu=relu, f=f,
+                pad_channels=True)
+            if y is not None:
+                return y
         if plan is not None:
             bh, staged = plan
             li = -(-fc // _LANES) * _LANES
@@ -271,6 +283,15 @@ def packed_max_pool_2x2(x: jax.Array, f: int, out_f: int | None = None) -> jax.A
     c = fc // f
     if out_f is None:
         out_f = f
+    # fused single-pass Pallas pool in the conv kernels' native (H, W, C)
+    # layout: the XLA chain below (reduce_window + minor reshape + max)
+    # prefers W-minor layouts and forces a full-map relayout copy on both
+    # sides of every pool against the C-minor Pallas convs around it
+    # (r4 trace: ~8 ms per transition at the full-res UHD shape)
+    from .pallas.pool import try_packed_pool_pallas
+    y = try_packed_pool_pallas(x, f, out_f)
+    if y is not None:
+        return y
     x = x[:, : (h // 2) * 2]
     # H pooling
     x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID")

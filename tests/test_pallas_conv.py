@@ -371,6 +371,25 @@ def test_tiled_packed_matches_xla_packed_conv(case, rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_packed_pool_lane_matches_xla(rng):
+    """The fused Pallas pool == the XLA reduce_window + phase-pair-max chain
+    (packed_max_pool_2x2's natural-f/2 branch), incl. f=1 unpacked W pooling
+    and sub-dense lane counts."""
+    from collaborative_distillation_tpu.ops.packed import packed_max_pool_2x2
+    from collaborative_distillation_tpu.ops.pallas.pool import packed_pool_lane
+
+    for h, wp, f, c, bh, bw in [(8, 16, 8, 16, 2, 16), (6, 16, 2, 64, 1, 8),
+                                (8, 24, 4, 24, 4, 24), (8, 32, 1, 128, 2, 16),
+                                (8, 16, 2, 16, 2, 16)]:
+        x = jnp.asarray(rng.standard_normal((1, h, wp, f * c)), jnp.float32)
+        want = 1 if f == 1 else f // 2
+        ref = packed_max_pool_2x2(x, f, out_f=want)
+        got = packed_pool_lane(x[0], f=f, c=c, block_h=bh, block_w=bw,
+                               interpret=True)[None]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=str((h, wp, f, c)))
+
+
 def test_tiled_router_pads_channels(monkeypatch, rng):
     """pad_channels=True: sub-128 Cin/Cout are zero-padded to the lane tile
     (weights and pad columns included) and the result unpadded — exercised
