@@ -132,7 +132,7 @@ def kernel_compiles(jitted, arg_shapes, **statics) -> bool:
     except Exception as e:  # noqa: BLE001 — any lowering failure means "use XLA"
         warnings.warn(
             f"Pallas kernel {key[0]} failed to compile at "
-            f"{[tuple(a.shape) for a in arg_shapes]} "
+            f"{[tuple(a.shape) for a in arg_shapes]} {statics} "
             f"({type(e).__name__}: {str(e)[:300]}); routing this shape to "
             f"the XLA conv path", RuntimeWarning)
         ok = False
@@ -546,12 +546,18 @@ def try_conv1x1_pallas(x: jax.Array, w: jax.Array, b: jax.Array | None,
 
 
 def _vmem_estimate_tiled(bh: int, bw: int, sub: int, ci_t: int, co_t: int,
-                         itemsize: int) -> int:
+                         itemsize: int, nci: int = 1) -> int:
     li, lo = _lanes(ci_t), _lanes(co_t)
     win = 2 * (bh + 2) * (bw + 2 * sub) * li * itemsize
     pstage = 2 * (bh + 2) * _EDGE * li * itemsize
     stage = (bh + 2) * bw * li * itemsize
-    acc = bh * bw * lo * 4
+    # f32 accumulation values: nci == 1 holds one live block (`part`);
+    # nci > 1 holds three (`part`, the `total` select, and the `acc`
+    # scratch). Calibrated on-chip: at (272, 2560, 256 -> 128) bf16 the
+    # bh*bw = 5120 configs (one-buffer model: 13.6 MB <= budget) crash the
+    # compiler while every bh*bw = 2560 config compiles — exactly the
+    # three-buffer model's cut line (19.6 vs 11.3 MB).
+    acc = (3 if nci > 1 else 1) * bh * bw * lo * 4
     out = 2 * bh * bw * lo * itemsize
     wts = 2 * 9 * li * lo * itemsize
     # 15% Mosaic-stack margin (the round-3 lesson: model the compiler's
@@ -584,7 +590,8 @@ def pick_tiles_3x3(h: int, w: int, cin: int, cout: int,
         for bw in bws:
             for bh in (16, 8, 4, 2, 1):
                 if h % bh == 0 and _vmem_estimate_tiled(
-                        bh, bw, sub, ci_t, co_t, itemsize) <= _VMEM_BUDGET:
+                        bh, bw, sub, ci_t, co_t, itemsize,
+                        nci=cin // ci_t) <= _VMEM_BUDGET:
                     if cand is None or (bh * bw, bw) > (cand[0] * cand[1], cand[1]):
                         cand = (bh, bw)
                     break  # bh descending: first fit is the largest for this bw

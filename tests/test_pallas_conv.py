@@ -315,7 +315,8 @@ def test_tiled_picker_scope():
         assert ci % ci_t == 0 and co % co_t == 0
         from collaborative_distillation_tpu.ops.pallas.conv import (
             _VMEM_BUDGET, _vmem_estimate_tiled)
-        assert _vmem_estimate_tiled(bh, bw, 8, ci_t, co_t, 4) <= _VMEM_BUDGET
+        assert _vmem_estimate_tiled(bh, bw, 8, ci_t, co_t, 4,
+                                    nci=ci // ci_t) <= _VMEM_BUDGET
     # ...and out-of-scope shapes are declined (sub-lane-tile channels /
     # misaligned W): Mosaic rejects sub-128 lane dims in the manual DMAs,
     # so C=64 teacher layers stay on XLA (see pick_tiles_3x3 docstring)
@@ -325,6 +326,26 @@ def test_tiled_picker_scope():
     assert pick_tiles_3x3(512, 5120, 64, 128, 4) is None   # conv2_1 class
     assert pick_tiles_3x3(64, 60, 128, 128, 4) is None     # W % sublane != 0
     assert pick_tiles_3x3(1, 64, 128, 128, 4) is None      # H too small
+
+
+def test_tiled_vmem_model_anchored_to_probed_compiler_points():
+    """The nci>1 accumulator path holds THREE f32 block values (part, the
+    total select, the acc scratch), not one — anchored to the on-chip probe
+    sweep at (272, 2560, 256 -> 128) bf16: every bh*bw = 5120 config
+    crashed the remote compiler, every bh*bw = 2560 config compiled."""
+    from collaborative_distillation_tpu.ops.pallas.conv import (
+        _VMEM_BUDGET, _vmem_estimate_tiled, pick_tiles_3x3)
+
+    for bh, bw, ok in [(4, 1280, False), (2, 2560, False),
+                       (2, 1280, True), (1, 2560, True),
+                       (4, 640, True), (8, 320, True)]:
+        est = _vmem_estimate_tiled(bh, bw, 16, 128, 128, 2, nci=2)
+        assert (est <= _VMEM_BUDGET) == ok, (bh, bw, est)
+    # the picker must now pick a compiling config at the crash shape
+    plan = pick_tiles_3x3(272, 2560, 256, 128, 2)
+    assert plan is not None
+    bh, bw, ci_t, co_t = plan
+    assert bh * bw <= 2560, plan
 
 
 def test_tiled_router_gates(monkeypatch, rng):
