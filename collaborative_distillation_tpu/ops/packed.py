@@ -321,6 +321,14 @@ def packed_upsample_nearest_2x(x: jax.Array, f: int, out_f: int | None = None) -
     c = fc // f
     if out_f is None:
         out_f = f
+    if out_f == 2 * f:
+        # fused single-pass Pallas upsample in the conv kernels' native
+        # layout (mirror of the pool: the XLA repeat/broadcast chain seeds
+        # W-minor layout preferences around the C-minor Pallas convs)
+        from .pallas.pool import try_packed_upsample_pallas
+        y = try_packed_upsample_pallas(x, f, out_f)
+        if y is not None:
+            return y
     x = jnp.repeat(x, 2, axis=1)
     if out_f == 2 * f:
         x = x.reshape(n, 2 * h, wp, f, 1, c)

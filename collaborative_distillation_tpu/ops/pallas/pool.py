@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["packed_pool_lane", "pick_pool_blocks", "try_packed_pool_pallas"]
+__all__ = ["packed_pool_lane", "pick_pool_blocks", "try_packed_pool_pallas",
+           "packed_upsample_lane", "try_packed_upsample_pallas"]
 
 _LANES = 128
 # same calibrated ceiling as the conv kernels (ops/pallas/conv.py)
@@ -64,15 +65,27 @@ def _pool_kernel(x_ref, o_ref, *, f: int, c: int):
 
 def pick_pool_blocks(h2: int, wp: int, fc: int, itemsize: int):
     """(block_h_out, block_w) whose in/out blocks fit VMEM, or None.
-    ``h2`` = pooled (output) height; the input block is 2x taller."""
+    ``h2`` = pooled (output) height; the input block is 2x taller.
+
+    The model counts the kernel's live VALUES, not just the pipeline
+    buffers: 2 pipelined input blocks + the x_ref[:] load + the H-max +
+    group/concat staging + 2 pipelined output blocks. Anchored to the
+    on-chip probe at (2048, 256, 128) f=8: (bh=16, bw=256) crashes the
+    compiler, (8, 256) and (16, 128) compile — the enriched model's cut
+    line; the 2-buffer model accepted the crash config at 10.9 MB."""
     sub = 8 if itemsize == 4 else 16
     bws = [wp] + [wp // d for d in (2, 4, 8)
                   if wp % d == 0 and (wp // d) % sub == 0]
+    half = fc // 2 or fc
     for bw in bws:
         for bh in (16, 8, 4, 2, 1):
             if h2 % bh:
                 continue
-            need = (2 * (2 * bh) * bw * fc + 2 * bh * bw * (fc // 2 or fc)) * itemsize
+            inb = 2 * bh * bw * fc          # one input block (2*bh rows)
+            need = (2 * inb + inb            # pipeline + x_ref[:] value
+                    + bh * bw * fc           # hmax
+                    + 2 * bh * bw * half     # group values + concat
+                    + 2 * bh * bw * half) * itemsize  # output pipeline
             if int(need * 1.15) <= _VMEM_BUDGET:
                 return bh, bw
     return None
@@ -106,6 +119,90 @@ def packed_pool_lane(x: jax.Array, *, f: int, c: int, block_h: int,
         name="packed_pool_lane",
         interpret=interpret,
     )(x)
+
+
+def _upsample_kernel(x_ref, o_ref, *, f: int, c: int):
+    bh, bw, fc = x_ref.shape
+    xb = x_ref[:]
+    # in-lane phase duplication: out phase pair (2q, 2q+1) = in phase q —
+    # contiguous lane slices, no gather (mirror of the pool's pair max)
+    parts = []
+    for q in range(f):
+        g = xb[..., q * c:(q + 1) * c]
+        parts += [g, g]
+    lanes = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    # H duplication: outer-dim broadcast + contiguous outer merge (free)
+    y = jnp.broadcast_to(lanes[:, None], (bh, 2, bw, 2 * fc))
+    o_ref[:] = y.reshape(2 * bh, bw, 2 * fc)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "c", "block_h", "block_w",
+                                              "interpret"))
+def packed_upsample_lane(x: jax.Array, *, f: int, c: int, block_h: int,
+                         block_w: int, interpret: bool = False) -> jax.Array:
+    """(H, Wp, f*C) packed map -> (2H, Wp, 2f*C): nearest 2x upsample whose
+    W doubling is the in-lane phase duplication plan_packing arranges
+    (ops/packed.py:packed_upsample_nearest_2x, out_f == 2f branch)."""
+    h, wp, fc = x.shape
+    assert fc == f * c, (x.shape, f, c)
+    return pl.pallas_call(
+        functools.partial(_upsample_kernel, f=f, c=c),
+        grid=(h // block_h, wp // block_w),
+        in_specs=[pl.BlockSpec((block_h, block_w, fc),
+                               lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((2 * block_h, block_w, 2 * fc),
+                               lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((2 * h, wp, 2 * fc), x.dtype),
+        name="packed_upsample_lane",
+        interpret=interpret,
+    )(x)
+
+
+def pick_upsample_blocks(h: int, wp: int, fc: int, itemsize: int):
+    """(block_h, block_w) whose in (bh, bw, fc) + out (2bh, bw, 2fc) blocks
+    fit VMEM, or None. Live-value accounting like :func:`pick_pool_blocks`:
+    input pipeline + x_ref[:] + lane-duplicated value + broadcast value +
+    output pipeline."""
+    sub = 8 if itemsize == 4 else 16
+    bws = [wp] + [wp // d for d in (2, 4, 8)
+                  if wp % d == 0 and (wp // d) % sub == 0]
+    for bw in bws:
+        for bh in (16, 8, 4, 2, 1):
+            if h % bh:
+                continue
+            px = bh * bw * fc
+            need = (2 * px + px      # input pipeline + x_ref[:] value
+                    + 2 * px         # lane-duplicated value
+                    + 4 * px         # H-broadcast value
+                    + 2 * 4 * px) * itemsize  # output pipeline (2bh, bw, 2fc)
+            if int(need * 1.15) <= _VMEM_BUDGET:
+                return bh, bw
+    return None
+
+
+def try_packed_upsample_pallas(x: jax.Array, f: int, out_f: int) -> jax.Array | None:
+    """Router for the fused upsample: single-image TPU maps taking the
+    natural out_f == 2f in-lane duplication. None -> XLA lowering."""
+    from .conv import kernel_compiles, pallas_conv_enabled
+
+    n, h, wp, fc = x.shape
+    c = fc // f
+    sub = 8 if x.dtype.itemsize == 4 else 16
+    if not (n == 1 and out_f == 2 * f and 2 * fc <= _LANES
+            and c % sub == 0 and fc % sub == 0
+            and pallas_conv_enabled()
+            and jax.default_backend() == "tpu"):
+        return None
+    blocks = pick_upsample_blocks(h, wp, fc, x.dtype.itemsize)
+    if blocks is None:
+        return None
+    bh, bw = blocks
+    if not kernel_compiles(
+            packed_upsample_lane,
+            (jax.ShapeDtypeStruct((h, wp, fc), x.dtype),),
+            f=f, c=c, block_h=bh, block_w=bw):
+        return None
+    return packed_upsample_lane(x[0], f=f, c=c, block_h=bh, block_w=bw)[None]
 
 
 def try_packed_pool_pallas(x: jax.Array, f: int, out_f: int) -> jax.Array | None:

@@ -562,7 +562,7 @@ class SlabCascade:
 def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int = 1024,
                              method: str = "eigh", newton_iters: int = 24,
                              eps: float = 1e-8, packed: bool = False,
-                             feature_cache_bytes: int = 5_000_000_000,
+                             feature_cache_bytes: int = 6_500_000_000,
                              external_style_stats: bool = False,
                              tail_stats: bool = False, params=None):
     """One compiled program for the whole slab cascade.
@@ -577,8 +577,10 @@ def build_fused_slab_cascade(pyramid, *, stages=(5, 4, 3, 2, 1), slab_rows: int 
     Stages whose full per-image encoder features fit in ``feature_cache_bytes``
     carry them out of the stats scan as stacked scan outputs, so pass 2 skips
     the re-encode (measured ~0.8 s of the 2.8 s UHD cascade). At UHD every
-    16x stage fits (stage 1 is the largest at ~4.1 GB); only the teacher
-    (``original``) widths leave stages 1-2 recompute-only (10.9/5.5 GB).
+    16x stage fits (stage 1 is the largest at ~4.1 GB), and the 6.5 GB
+    default also catches the packed teacher's stage 2 (5.4 GB; measured
+    3.77 -> 3.59 s at UHD slab 1024 with HBM to spare) — only teacher
+    stage 1 (10.7 GB) stays recompute-only.
 
     Returns ``(fn, params)`` where ``fn(params, img, style, alpha) -> img``
     expects H == a multiple of slab_rows (>= 2*margin) and W a multiple of 16

@@ -411,6 +411,43 @@ def test_packed_pool_lane_matches_xla(rng):
                                       err_msg=str((h, wp, f, c)))
 
 
+def test_pool_block_model_anchored_to_probed_compiler_points():
+    """pick_pool_blocks is anchored to the on-chip probe sweep at
+    (2048, 256, 128) f=8: (16, 256) crashed the remote compiler while
+    (8, 256), (16, 128) and every smaller config compiled."""
+    from collaborative_distillation_tpu.ops.pallas.pool import (
+        _VMEM_BUDGET, pick_pool_blocks)
+
+    # model must reject the crash config and accept the probed-good ones
+    def need(bh, bw, fc=128, item=4):
+        inb = 2 * bh * bw * fc
+        half = fc // 2
+        return int((2 * inb + inb + bh * bw * fc + 2 * bh * bw * half
+                    + 2 * bh * bw * half) * item * 1.15)
+
+    assert need(16, 256) > _VMEM_BUDGET          # crashed on-chip
+    assert need(8, 256) <= _VMEM_BUDGET          # compiled
+    assert need(16, 128) <= _VMEM_BUDGET         # compiled
+    bh, bw = pick_pool_blocks(1024, 256, 128, 4)
+    assert (2 * bh * bw) * 256 <= 16 * 256 * 512, (bh, bw)  # below cut line
+
+
+def test_packed_upsample_lane_matches_xla(rng):
+    """The fused Pallas upsample == packed_upsample_nearest_2x's natural
+    out_f == 2f branch (in-lane phase duplication), incl. f=1 -> 2."""
+    from collaborative_distillation_tpu.ops.packed import packed_upsample_nearest_2x
+    from collaborative_distillation_tpu.ops.pallas.pool import packed_upsample_lane
+
+    for h, wp, f, c, bh, bw in [(4, 16, 4, 16, 2, 16), (6, 16, 1, 64, 3, 8),
+                                (4, 24, 2, 32, 4, 24), (4, 16, 2, 16, 2, 16)]:
+        x = jnp.asarray(rng.standard_normal((1, h, wp, f * c)), jnp.float32)
+        ref = packed_upsample_nearest_2x(x, f, out_f=2 * f)
+        got = packed_upsample_lane(x[0], f=f, c=c, block_h=bh, block_w=bw,
+                                   interpret=True)[None]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=str((h, wp, f, c)))
+
+
 def test_tiled_router_pads_channels(monkeypatch, rng):
     """pad_channels=True: sub-128 Cin/Cout are zero-padded to the lane tile
     (weights and pad columns included) and the result unpadded — exercised
