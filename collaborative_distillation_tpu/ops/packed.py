@@ -151,13 +151,15 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
                    f: int, *, relu: bool = True) -> jax.Array:
     """Reflect-pad + 3x3 conv + optional relu, in width-packed space.
 
-    On TPU, lane-dense (128 -> 128 packed channels) single-image maps route
-    to the Pallas direct-conv kernel (ops/pallas/conv.py): measured 3.7x
-    faster than the XLA conv lowering at every UHD cascade shape (9.6 ms vs
-    35.2 ms at full res, 162 vs 44 TFLOP/s) because it skips XLA's per-conv
-    relayout copies AND the materialised reflect pads. Everything else
-    (batched training inputs, teacher widths, odd widths) takes the XLA
-    path below.
+    On TPU, single-image maps route to the Pallas direct-conv kernels
+    (ops/pallas/conv.py), W-tiled kernel first, whole-row kernel as the
+    fallback: direct convs in the native (H, W, C) layout measured 3-4x
+    faster than the XLA conv lowering at every UHD cascade shape because
+    they skip XLA's per-conv relayout copies AND the materialised reflect
+    pads, and the tiled variant beat the whole-row one at every measured
+    shape on top (full-cascade A/B 0.63 vs 0.68 s UHD f32). Everything
+    else (batched training inputs, shapes both pickers decline) takes the
+    XLA path below.
 
     ``x``: (N, H, Wp, f*C); H is reflect-padded normally, W via the packed
     pad-column construction. Uses default (bf16) MXU precision with f32
@@ -178,18 +180,20 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
         from .pallas.conv import (_LANES, conv3x3_lane128, kernel_compiles,
                                   make_pad_columns, supported,
                                   try_conv3x3_tiled)
+        # Tiled-first: the W-tiled kernel beats the whole-row kernel at
+        # EVERY measured cascade shape, including the lane128 shapes whose
+        # staged whole-row plan fits VMEM (isolated 12.4 vs 14.0 ms at the
+        # whole-row's home shape; full-cascade A/B 0.63 vs 0.68 s at UHD
+        # f32) — its column blocks keep the working set small enough for
+        # better DMA/compute overlap. The whole-row kernel stays below as
+        # the fallback for shapes the tiled picker or its compile probe
+        # declines.
+        y = try_conv3x3_tiled(
+            x, w_packed.reshape(3, 3, fc, fco), b_packed, relu=relu, f=f,
+            pad_channels=True)
+        if y is not None:
+            return y
         plan = supported(h, wp, fc, fco, x.dtype.itemsize)
-        if plan is not None and not plan[1]:
-            # the whole-row kernel only fits this shape in its LAZY variant
-            # (no shift scratch; Mosaic re-materializes the sublane shifts
-            # per dot) — the W-tiled kernel with staged shifts beats it
-            # (measured 23.0 vs 32.2 ms at the f32 full-res stage-1 shape):
-            # prefer tiled, keep lazy as the fallback
-            y = try_conv3x3_tiled(
-                x, w_packed.reshape(3, 3, fc, fco), b_packed, relu=relu, f=f,
-                pad_channels=True)
-            if y is not None:
-                return y
         if plan is not None:
             bh, staged = plan
             li = -(-fc // _LANES) * _LANES
@@ -226,19 +230,6 @@ def packed_conv3x3(x: jax.Array, w_packed: jax.Array, b_packed: jax.Array | None
             if co_pad:
                 y = y[..., :fco]
             return y[None]
-        # Wide packed maps no whole-row block can hold (the f=2-packed
-        # teacher's wp=5120 full-res rows at f32) route to the W-tiled
-        # kernel, pad-column semantics included; sub-128 channel counts are
-        # zero-padded there (lane-local in this pipeline — every neighbor
-        # op already holds the map C-minor). This is what makes the packed
-        # teacher pipeline viable: the XLA fallback below is the wide-conv
-        # lowering that crashes the remote TPU compiler at W >= 5120.
-        from .pallas.conv import try_conv3x3_tiled
-        y = try_conv3x3_tiled(
-            x, w_packed.reshape(3, 3, fc, fco), b_packed, relu=relu, f=f,
-            pad_channels=True)
-        if y is not None:
-            return y
     x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
     x = _reflect_pad_w_packed(x, f)
     # f32 accumulation is requested explicitly only for f32 inputs; for bf16
