@@ -114,7 +114,11 @@ def _run_stage(args, stage: int) -> int:
 
     be_path = resolve_path(args.BE) or os.path.join(root, "original", f"e{k}.npz")
     bd_path = resolve_path(args.BD) or os.path.join(root, "original", f"d{k}.npz")
-    be = load_stage_params(be_path, be_spec)
+    # wct_sd with --lw_perc 0 is the only mode/weighting that never touches
+    # the teacher encoder (losses.sd_reconstruct_losses skips the BE term
+    # entirely) — don't require the external-download teacher weights then
+    need_be = not (args.mode == "wct_sd" and args.lw_perc == 0)
+    be = load_stage_params(be_path, be_spec) if need_be else None
 
     def student_encoder_init():
         if args.SE:
@@ -128,7 +132,9 @@ def _run_stage(args, stage: int) -> int:
         student = student_encoder_init()
     elif args.mode == "wct_sd":
         sd_spec = decoder_spec("16x", k)
-        frozen = {"be": be, "se": student_encoder_init()}
+        frozen = {"se": student_encoder_init()}
+        if need_be:
+            frozen["be"] = be
         if args.SD:
             student = load_stage_params(resolve_path(args.SD), sd_spec)
         elif args.pretrained_init:

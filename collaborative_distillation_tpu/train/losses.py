@@ -46,27 +46,39 @@ def se_distill_losses(
     be_spec: StageSpec,
     bd_spec: StageSpec,
     aux_relu: bool = False,
+    terms: tuple[str, ...] | None = None,
 ):
     """SE-stage losses; returns (loss_dict, rec_image).
 
     feat: sum_k MSE(SE aux_k, BE relu_k)            (model.py:24-26)
     pixl: MSE(BD(SE aux_K), content)                 (model.py:16, 29)
     perc: sum_k MSE(BE(rec) relu_k, BE(c) relu_k)    (model.py:30-33)
+
+    ``terms`` restricts which losses are computed (and returned) — a
+    zero-weighted term would be dead in the backward pass anyway, but its
+    FORWARD cost (a full BE encode for ``perc``) is not DCE'd by XLA because
+    the value is returned for logging; skipping it here removes it entirely.
     """
     stage = se_spec.stage
+    want = set(terms) if terms is not None else {"feat", "pixl", "perc"}
     frozen = lax.stop_gradient(frozen)
     be, bd = frozen["be"], frozen["bd"]
 
-    c_be = apply_encoder(be, batch, be_spec)
     c_se = apply_encoder(se_params, batch, se_spec, aux_relu=aux_relu)
     rec = apply_decoder(bd, c_se[f"aux{stage}1"], bd_spec)["out"]
-
-    feat = sum(mse(a, b) for a, b in zip(_taps(c_se, "aux", stage), _taps(c_be, "relu", stage)))
-    pixl = mse(rec, batch)
-    rec_be = apply_encoder(be, rec, be_spec)
-    perc = sum(mse(a, lax.stop_gradient(b))
-               for a, b in zip(_taps(rec_be, "relu", stage), _taps(c_be, "relu", stage)))
-    return {"feat": feat, "pixl": pixl, "perc": perc}, rec
+    losses = {}
+    if want & {"feat", "perc"}:
+        c_be = apply_encoder(be, batch, be_spec)
+    if "feat" in want:
+        losses["feat"] = sum(mse(a, b) for a, b in zip(
+            _taps(c_se, "aux", stage), _taps(c_be, "relu", stage)))
+    if "pixl" in want:
+        losses["pixl"] = mse(rec, batch)
+    if "perc" in want:
+        rec_be = apply_encoder(be, rec, be_spec)
+        losses["perc"] = sum(mse(a, lax.stop_gradient(b)) for a, b in zip(
+            _taps(rec_be, "relu", stage), _taps(c_be, "relu", stage)))
+    return losses, rec
 
 
 def sd_reconstruct_losses(
@@ -77,25 +89,33 @@ def sd_reconstruct_losses(
     sd_spec: StageSpec,
     se_spec: StageSpec,
     be_spec: StageSpec,
+    terms: tuple[str, ...] | None = None,
 ):
     """SD-stage losses; returns (loss_dict, rec_image).
 
     rec = SD(SE(c)) on native (pruned) widths (model.py:45); pixel loss +
     perceptual loss through the frozen big encoder (model.py:47-54).
+    ``terms`` as in :func:`se_distill_losses` — with ``perc`` excluded the
+    BE is never evaluated, so training runs without teacher weights at all.
     """
     stage = sd_spec.stage
+    want = set(terms) if terms is not None else {"pixl", "perc"}
     frozen = lax.stop_gradient(frozen)
-    be, se = frozen["be"], frozen["se"]
+    se = frozen["se"]
 
     feat = apply_encoder(se, batch, se_spec)["out"]
     rec = apply_decoder(sd_params, feat, sd_spec)["out"]
 
-    pixl = mse(rec, batch)
-    rec_be = apply_encoder(be, rec, be_spec)
-    c_be = apply_encoder(be, batch, be_spec)
-    perc = sum(mse(a, lax.stop_gradient(b))
-               for a, b in zip(_taps(rec_be, "relu", stage), _taps(c_be, "relu", stage)))
-    return {"pixl": pixl, "perc": perc}, rec
+    losses = {}
+    if "pixl" in want:
+        losses["pixl"] = mse(rec, batch)
+    if "perc" in want:
+        be = frozen["be"]
+        rec_be = apply_encoder(be, rec, be_spec)
+        c_be = apply_encoder(be, batch, be_spec)
+        losses["perc"] = sum(mse(a, lax.stop_gradient(b)) for a, b in zip(
+            _taps(rec_be, "relu", stage), _taps(c_be, "relu", stage)))
+    return losses, rec
 
 
 def kd2sd_losses(

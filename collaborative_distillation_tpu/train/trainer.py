@@ -52,14 +52,16 @@ def make_loss_fn(cfg: TrainConfig) -> tuple[Callable, dict[str, float]]:
     bd_spec = decoder_spec("original", k)
     se_spec = encoder_spec("16x", k, aux=True)
     if cfg.mode == "wct_se":
-        fn = partial(se_distill_losses, se_spec=se_spec, be_spec=be_spec,
-                     bd_spec=bd_spec, aux_relu=cfg.aux_relu)
         weights = {"feat": cfg.lw_feat, "pixl": cfg.lw_pixl, "perc": cfg.lw_perc}
+        fn = partial(se_distill_losses, se_spec=se_spec, be_spec=be_spec,
+                     bd_spec=bd_spec, aux_relu=cfg.aux_relu,
+                     terms=tuple(n for n, w in weights.items() if w))
     elif cfg.mode == "wct_sd":
         sd_spec = decoder_spec("16x", k)
-        fn = partial(sd_reconstruct_losses, sd_spec=sd_spec, se_spec=se_spec,
-                     be_spec=be_spec)
         weights = {"pixl": cfg.lw_pixl, "perc": cfg.lw_perc}
+        fn = partial(sd_reconstruct_losses, sd_spec=sd_spec, se_spec=se_spec,
+                     be_spec=be_spec,
+                     terms=tuple(n for n, w in weights.items() if w))
     elif cfg.mode == "wct_sd_kd2sd":
         sd_spec = decoder_spec("16x", k, aux=True)
         fn = partial(kd2sd_losses, sd_spec=sd_spec, se_spec=se_spec,
