@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "sequentially 5..1 (the README.md:69-85 workflow "
                          "as one command; per-stage --BE/--BD/--SE/--SD "
                          "overrides don't apply then)")
+    ap.add_argument("--cache_data", action="store_true",
+                    help="cache decoded+resized training images in RAM "
+                         "(small datasets only; crop/flip still random)")
     ap.add_argument("--max_steps", type=int, default=0,
                     help="stop after N steps (0 = run all epochs); for smoke runs")
     ap.add_argument("--bf16", action="store_true",
@@ -168,7 +171,10 @@ def _run_stage(args, stage: int) -> int:
         start_epoch = int(meta.get("epoch", 0)) + 1
         log(f"resumed from {args.resume} at epoch {start_epoch - 1}")
 
-    dataset = ImageFolderDataset(args.content_train, args.shorter_side)
+    # uint8 transport: 4x less host->device traffic per batch; the jit'd
+    # step normalizes to [0,1] on device (trainer.py step())
+    dataset = ImageFolderDataset(args.content_train, args.shorter_side,
+                                 cache=args.cache_data, uint8=True)
     loader = Loader(dataset, args.batch_size)
     if len(loader) == 0:
         raise SystemExit(
@@ -191,7 +197,10 @@ def _run_stage(args, stage: int) -> int:
                 log(f"E{epoch}S{step} {meter.format()} ({tp.report()})")
                 tp.reset()
             if step % args.save_interval == 0:
-                grid = np.concatenate([np.asarray(batch), np.asarray(rec)], axis=0)
+                shown = np.asarray(batch)
+                if shown.dtype == np.uint8:
+                    shown = shown.astype(np.float32) / 255.0
+                grid = np.concatenate([shown, np.asarray(rec)], axis=0)
                 save_image_grid(grid, exp.image_path(epoch, step), nrow=args.batch_size)
             if args.max_steps and total_steps >= args.max_steps:
                 trainer.save(exp.ckpt_path(), epoch=epoch, step=total_steps)

@@ -101,7 +101,8 @@ class _SafeRng:
 class ImageFolderDataset:
     """Training content images: resize shorter side, random 256-crop, hflip."""
 
-    def __init__(self, img_dir: str, shorter_side: int = 300, crop: int = 256, seed: int = 0):
+    def __init__(self, img_dir: str, shorter_side: int = 300, crop: int = 256, seed: int = 0,
+                 cache: bool = False, uint8: bool = False):
         self.paths = sorted(
             os.path.join(img_dir, f) for f in os.listdir(img_dir) if is_img(f))
         if not self.paths:
@@ -109,12 +110,19 @@ class ImageFolderDataset:
         self.shorter_side = shorter_side
         self.crop = crop
         self._rng = _SafeRng(seed)
+        # Opt-in decoded-image RAM cache: augmentation is crop+flip over the
+        # *resized* array, so the post-resize float image is reusable across
+        # epochs. On a 1-core host JPEG decode dominates the step otherwise.
+        # Unsuitable for COCO-scale dirs (118k images ~ 170 GB) — caller opts in.
+        self._cache: dict[str, np.ndarray] | None = {} if cache else None
+        # uint8 output: host->device batches as raw bytes (the trainer
+        # normalizes on device); also shrinks the cache 4x.
+        self.uint8 = uint8
 
     def __len__(self) -> int:
         return len(self.paths)
 
-    def __getitem__(self, idx: int) -> tuple[np.ndarray, str]:
-        path = self.paths[idx]
+    def _decode(self, path: str) -> np.ndarray:
         arr = None
         if self.shorter_side and path.lower().endswith((".jpg", ".jpeg")):
             # native decode with DCT-domain downscale; releases the GIL so the
@@ -122,12 +130,23 @@ class ImageFolderDataset:
             with open(path, "rb") as fh:
                 raw = native_codec.decode_jpeg_shorter_side(fh.read(), self.shorter_side)
             if raw is not None:
-                arr = raw.astype(np.float32) / 255.0
+                arr = raw if self.uint8 else raw.astype(np.float32) / 255.0
         if arr is None:
             img = load_image(path)
             if self.shorter_side:
                 img = resize_shorter_side(img, self.shorter_side)
-            arr = _to_float(img)
+            arr = np.asarray(img, np.uint8) if self.uint8 else _to_float(img)
+        return arr
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, str]:
+        path = self.paths[idx]
+        if self._cache is not None:
+            arr = self._cache.get(path)
+            if arr is None:
+                # benign race under Loader threads: worst case both decode once
+                arr = self._cache[path] = self._decode(path)
+        else:
+            arr = self._decode(path)
         rng = self._rng.child()
         arr = _random_crop(arr, self.crop, rng)
         if rng.random() < 0.5:

@@ -102,6 +102,12 @@ class Trainer:
                     if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
         def step(params, opt_state, frozen, batch):
+            if batch.dtype == jnp.uint8:
+                # uint8 transport: the host ships raw bytes (4x less PCIe /
+                # relay-link traffic than f32) and the [0,1] normalization
+                # fuses into the first conv on device
+                batch = batch.astype(jnp.float32) / 255.0
+
             def total_loss(p):
                 # p is cast INSIDE the differentiated function: jax.grad
                 # through astype gives f32 master-weight gradients from the

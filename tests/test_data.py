@@ -36,6 +36,44 @@ def test_image_folder_dataset(img_dir):
     assert path.endswith(".jpg")
 
 
+def test_image_folder_uint8_and_cache(img_dir):
+    ds8 = ImageFolderDataset(img_dir, shorter_side=300, crop=256, uint8=True,
+                             cache=True, seed=7)
+    dsf = ImageFolderDataset(img_dir, shorter_side=300, crop=256, seed=7)
+    a8, _ = ds8[0]
+    af, _ = dsf[0]
+    assert a8.dtype == np.uint8 and a8.shape == (256, 256, 3)
+    # same seed -> same crop/flip; uint8 is the pre-normalization bytes
+    np.testing.assert_allclose(a8.astype(np.float32) / 255.0, af, atol=1e-6)
+    # cached second access decodes from RAM but still re-augments (random
+    # crop differs with near-certainty on a 300px source vs 256 crop)
+    b8, _ = ds8[0]
+    assert b8.dtype == np.uint8
+    assert len(ds8._cache) == 1
+
+
+def test_trainer_uint8_batch_matches_float():
+    import jax
+    from collaborative_distillation_tpu.train.trainer import TrainConfig, Trainer
+    from collaborative_distillation_tpu.models.specs import decoder_spec, encoder_spec
+    from collaborative_distillation_tpu.models.vgg import init_params
+
+    cfg = TrainConfig(mode="wct_sd", stage=1, lw_perc=0.0, lr=1e-3)
+    rng = np.random.default_rng(0)
+    se = init_params(encoder_spec("16x", 1, aux=True), jax.random.key(1))
+    sd = init_params(decoder_spec("16x", 1), jax.random.key(2))
+    batch8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    batchf = batch8.astype(np.float32) / 255.0
+
+    import jax.numpy as jnp
+    copy = lambda tree: jax.tree.map(jnp.array, tree)  # each Trainer donates its params
+    t1 = Trainer(cfg, copy(sd), {"se": se})
+    l1, _ = t1.train_step(batch8)
+    t2 = Trainer(cfg, copy(sd), {"se": se})
+    l2, _ = t2.train_step(batchf)
+    assert np.allclose(float(l1["pixl"]), float(l2["pixl"]), rtol=1e-5)
+
+
 def test_center_crop_deterministic(img_dir):
     ds = CenterCropDataset(img_dir, shorter_side=300, crop=256)
     a1, _ = ds[1]
