@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--shorter_side", type=int, default=300)
     ap.add_argument("-b", "--batch_size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr_final", type=float, default=0.0,
+                    help="cosine-decay lr to this value over --lr_decay_steps")
+    ap.add_argument("--lr_decay_steps", type=int, default=0,
+                    help="cosine decay horizon; defaults to --max_steps; "
+                         "0 with no --max_steps = constant lr")
     ap.add_argument("--resume", type=str, default="", help="checkpoint to resume from")
     ap.add_argument("--BE", type=str, default="", help="big encoder weights (.npz)")
     ap.add_argument("--BD", type=str, default="", help="big decoder weights (.npz)")
@@ -159,6 +164,9 @@ def _run_stage(args, stage: int) -> int:
     if mesh is not None and args.batch_size % n_dev:
         raise SystemExit(f"batch_size {args.batch_size} not divisible by {n_dev} devices")
     cfg = TrainConfig(mode=args.mode, stage=k, lr=args.lr,
+                      lr_final=args.lr_final,
+                      lr_decay_steps=(args.lr_decay_steps or args.max_steps)
+                      if args.lr_final > 0 else 0,
                       batch_size=args.batch_size, epochs=args.epoch,
                       lw_feat=args.lw_feat, lw_pixl=args.lw_pixl,
                       lw_perc=args.lw_perc, lw_kd=args.lw_kd,

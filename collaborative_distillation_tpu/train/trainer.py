@@ -30,6 +30,11 @@ class TrainConfig:
     mode: str = "wct_se"          # wct_se | wct_sd | wct_sd_kd2sd
     stage: int = 5
     lr: float = 1e-4
+    # cosine-decay lr to lr_final over lr_decay_steps (0 = constant lr, the
+    # reference's choice, main.py:84). The schedule rides optax's step count
+    # inside opt_state, so it survives checkpoint/resume.
+    lr_final: float = 0.0
+    lr_decay_steps: int = 0
     batch_size: int = 16
     epochs: int = 20
     lw_feat: float = 10.0
@@ -85,7 +90,12 @@ class Trainer:
         enable_persistent_cache()  # replay step compiles across processes
         self.cfg = cfg
         self.loss_graph, self.loss_weights = make_loss_fn(cfg)
-        self.tx = optax.adam(cfg.lr)
+        if cfg.lr_decay_steps:
+            lr = optax.cosine_decay_schedule(
+                cfg.lr, cfg.lr_decay_steps, alpha=cfg.lr_final / cfg.lr)
+        else:
+            lr = cfg.lr
+        self.tx = optax.adam(lr)
         self.params = student_params
         self.opt_state = self.tx.init(student_params)
         self.frozen = frozen_params

@@ -267,3 +267,39 @@ def test_mixed_precision_dp_matches_single_device(rng):
                                    rtol=2e-2)
     for a, b in zip(jax.tree.leaves(single.params), jax.tree.leaves(dp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_lr_schedule_survives_resume(rng, tmp_path):
+    """Cosine-decay lr rides optax's step count in opt_state: a trainer
+    restored mid-run continues the schedule where it left off (same update
+    as an uninterrupted trainer), rather than restarting at peak lr."""
+    import jax
+
+    from collaborative_distillation_tpu.models.specs import (
+        decoder_spec, encoder_spec)
+    from collaborative_distillation_tpu.models.vgg import init_params
+    from collaborative_distillation_tpu.train.trainer import (
+        TrainConfig, Trainer)
+
+    k1, k2 = jax.random.split(jax.random.key(11))
+    se = init_params(encoder_spec("16x", 1, aux=True), k1)
+    sd = init_params(decoder_spec("16x", 1), k2)
+    batch = rng.random((2, 32, 32, 3)).astype(np.float32)
+    cfg = TrainConfig(mode="wct_sd", stage=1, lw_perc=0.0, lr=1e-3,
+                      lr_final=1e-5, lr_decay_steps=10)
+
+    ref = Trainer(cfg, jax.tree.map(jnp.copy, sd), {"se": se})
+    for _ in range(3):
+        ref.train_step(batch)
+    path = str(tmp_path / "mid")
+    ref.save(path, epoch=1, step=3)
+    for _ in range(2):
+        ref.train_step(batch)
+
+    res = Trainer(cfg, jax.tree.map(jnp.copy, sd), {"se": se})
+    res.restore(path)
+    for _ in range(2):
+        losses, _ = res.train_step(batch)
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert np.isfinite(float(losses["pixl"]))
