@@ -69,7 +69,9 @@ class LossMeter:
         self.values[name] = v
 
     def format(self) -> str:
-        return " | ".join(f"{k}: {self.values[k]:.3f}" for k in sorted(self.values))
+        # .4g not .3f: late-training losses sit well below 1e-3 (the SD
+        # pixel loss converges to ~4e-5) and fixed decimals print as 0.000
+        return " | ".join(f"{k}: {self.values[k]:.4g}" for k in sorted(self.values))
 
 
 class Throughput:

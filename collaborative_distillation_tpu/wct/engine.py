@@ -241,6 +241,14 @@ class WCTEngine:
             import os as _os
             packed = _os.environ.get("CD_TPU_PACKED", "1").strip().lower() \
                 not in ("0", "off", "false")
+            if packed:
+                # ... but that routing only holds while the Pallas conv
+                # routes are live. If they are killed (CD_TPU_PALLAS=0 or a
+                # prior degradation), wide packed shapes would fall back to
+                # the very XLA lowering the packing decision assumes away —
+                # default unpacked then.
+                from ..ops.pallas.conv import pallas_conv_enabled
+                packed = pallas_conv_enabled()
         # shingled slab streaming for single-chip ultra-resolution inputs
         self.slab = None
         self._fused_slab = None
@@ -934,6 +942,19 @@ class WCTEngine:
                 disable_pallas_conv(f"fused cascade {type(e).__name__}")
                 self._stage_fns.clear()
                 self._fused_slab = None
+                if self.slab.packed:
+                    # With Pallas disabled, packed convs route to the XLA
+                    # wide packed-conv lowering that historically crashed
+                    # the remote TPU compiler at teacher widths (packed
+                    # W >= 5120 at UHD). The degraded path must not be able
+                    # to contain that kernel class either — rebuild the
+                    # slab unpacked (slower, but this path only exists to
+                    # finish the request).
+                    from .slab import SlabCascade
+                    self.slab = SlabCascade(
+                        self.pyramid, stages=self.stages,
+                        slab_rows=self.slab.slab_rows, method=self.method,
+                        newton_iters=self.newton_iters, packed=False)
                 for i in range(completed, num_run):
                     stream = as_uint8 and i == num_run - 1
                     img = self.slab.stylize(img, sty, alpha, to_host_uint8=stream)

@@ -133,10 +133,19 @@ def test_engine_fused_failure_degrades_without_pallas(weights_root, rng, monkeyp
     # the ladder stepped to a configuration that cannot re-trace the kernel
     assert not conv.pallas_conv_enabled()
     assert eng._fused_slab is None
+    # ... including the XLA wide packed-conv lowering: the slab must have
+    # been rebuilt unpacked (advisor r4: a packed teacher falling back with
+    # Pallas disabled would hit the historically crashing W>=5120 lowering)
+    assert eng.slab.packed is False
     # the degraded output is the per-stage slab result, not garbage
     eng2 = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
                      slab_rows=32, fused=False)
     np.testing.assert_allclose(out, eng2.stylize(c, s), atol=2e-3)
+    # and a FRESH engine built while the kill switch is active must not
+    # default to packed either
+    eng3 = WCTEngine(mode="16x", weights_root=weights_root, stages=(2, 1),
+                     slab_rows=32, fused=False)
+    assert eng3.slab.packed is False
 
 
 def test_stylize_device_matches_stylize(weights_root, rng):
