@@ -53,7 +53,9 @@ def test_loss_meter_ema():
     m.update("a", 2.0)
     m.update("a", 4.0)
     assert m.values["a"] == pytest.approx(3.0)
-    assert "a: 3.000" in m.format()
+    assert "a: 3" in m.format()
+    m.update("tiny", 4.2e-5)
+    assert "tiny: 4.2e-05" in m.format()  # sub-millesimal losses stay visible
 
 
 def test_log_printer_writes_file(tmp_path):
