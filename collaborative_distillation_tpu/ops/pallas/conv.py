@@ -96,6 +96,21 @@ def disable_pallas_conv(reason: str = "") -> None:
             RuntimeWarning)
 
 
+def enable_pallas_conv() -> None:
+    """Re-arm the Pallas conv routes after ``disable_pallas_conv``.
+
+    The process-global kill is deliberately coarse (a kernel that crashed the
+    compiler once would crash it again in any rebuilt program containing the
+    same shape), but it also drags down OTHER engines in the process whose
+    kernels were fine — e.g. a student engine after a teacher-width failure.
+    A host that knows the failing engine is gone (serving rotated it out, a
+    test finished) calls this to restore Pallas routing; the per-shape
+    ``kernel_compiles`` probe cache still remembers exactly which shapes
+    failed, so re-enabling cannot resurrect the crashed kernel itself."""
+    global _FORCE_OFF
+    _FORCE_OFF = False
+
+
 _PROBE_CACHE: dict = {}
 
 

@@ -169,6 +169,7 @@ class WCTEngine:
         if halo not in ("ppermute", "pallas"):
             raise ValueError(
                 f"halo must be 'ppermute' or 'pallas', got {halo!r}")
+        self.last_timings: dict = {}  # filled by stylize(timed=True)
         if halo == "pallas" and not (space and space > 1 and slab_rows):
             import warnings
             warnings.warn(
@@ -550,7 +551,8 @@ class WCTEngine:
 
     def stylize(self, content: np.ndarray, style: np.ndarray, alpha: float = 1.0,
                 *, num_run: int = 1, style_key=None, as_uint8: bool = False,
-                pwct: bool = False, transport: str | None = None) -> np.ndarray:
+                pwct: bool = False, transport: str | None = None,
+                timed: bool = False) -> np.ndarray:
         """Stylize one content/style pair. Inputs: (H, W, 3) or (N, H, W, 3),
         float in [0, 1] or uint8 in [0, 255]; returns the same rank, clipped.
 
@@ -563,13 +565,35 @@ class WCTEngine:
         2 MPix — the pipeline endpoints are JPEGs, themselves 4:2:0, so the
         saved artifact only changes by chroma-box rounding; pass
         ``transport="rgb"`` for bit-exact RGB transport.
+
+        ``timed=True`` inserts a ``block_until_ready`` barrier after the
+        upload and compute legs and records their wall times in
+        ``self.last_timings`` (keys upload_s/compute_s/readback_s/total_s).
+        The barriers serialize legs that normally overlap (banded upload,
+        async dispatch), so a timed run is a *breakdown* of where the time
+        goes, not the fastest total — benches report the un-timed total and
+        one timed breakdown separately.
         """
+        import time as _time
+        t0 = _time.perf_counter() if timed else 0.0
         img, sty, squeeze, orig_hw, transport = self._to_device(
             content, style, transport)
+        if timed:
+            jax.block_until_ready((img, sty))
+            t1 = _time.perf_counter()
         img = self._run_device(img, sty, alpha, num_run=num_run,
                                style_key=style_key, as_uint8=as_uint8,
                                pwct=pwct, orig_hw=orig_hw, transport=transport)
-        return self._from_device(img, orig_hw, squeeze, as_uint8, transport)
+        if timed:
+            jax.block_until_ready(img)
+            t2 = _time.perf_counter()
+        out = self._from_device(img, orig_hw, squeeze, as_uint8, transport)
+        if timed:
+            t3 = _time.perf_counter()
+            self.last_timings = {
+                "upload_s": round(t1 - t0, 3), "compute_s": round(t2 - t1, 3),
+                "readback_s": round(t3 - t2, 3), "total_s": round(t3 - t0, 3)}
+        return out
 
     def stylize_device(self, content, style, alpha: float = 1.0, *,
                        num_run: int = 1, style_key=None,

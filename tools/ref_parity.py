@@ -22,9 +22,19 @@ has torch 2.13 CPU):
     .pth checkpoints unpickle.
 None of these change a single number the reference computes.
 
+TRUST BOUNDARY: this tool executes the reference checkout's Python via runpy
+and unpickles its .pth checkpoints with weights_only=False — both are
+arbitrary-code-execution surfaces over content this repo treats as untrusted.
+Run it only in a disposable sandbox (this container qualifies); never point it
+at a reference tree you have not inspected.
+
 Usage: python tools/ref_parity.py [--size 1024x576] [--style-size 512]
-Writes /tmp/ref_parity/{ref,ours}.png and prints a PSNR/SSIM report (the
-numbers recorded in docs/PARITY.md).
+                                  [--pairs N] [--alphas 1,0.75,0.5] [--ref-ab]
+Default protocol (the docs/PARITY.md table): 4 contents x 2 styles = 8 pairs
+at alpha=1, an alpha sweep on green_park+in1, and the reference's own
+torch-vs---numpy A/B (WCT.py:33, util_wct.py:134-208) on the same pair — the
+reference's INTERNAL spread, printed next to our score so "how close is
+close" has a denominator.
 """
 
 from __future__ import annotations
@@ -71,22 +81,51 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float("inf") if mse == 0 else 10.0 * np.log10(1.0 / mse)
 
 
-def prepare_inputs(cw: int, ch: int, ssize: int) -> None:
+CONTENTS = {  # name -> source path (all present in the reference checkout)
+    "green_park": f"{REF}/content/UHD_content/green_park-wallpaper-3840x2160.jpg",
+    "in2": f"{REF}/content/in2.jpg",
+    "in3": f"{REF}/content/in3.jpg",
+    "in4": f"{REF}/content/in4.jpg",
+}
+STYLES = {
+    "in1": f"{REF}/style/in1.jpg",
+    "in3": f"{REF}/style/in3.jpg",
+}
+
+
+def prepare_inputs(cw: int, ch: int, ssize: int,
+                   contents=("green_park",), styles=("in1",),
+                   sub: str = "") -> None:
     """Pre-resize content/style ONCE and save as PNG so both pipelines read
-    bit-identical pixels (no resize inside either pipeline)."""
+    bit-identical pixels (no resize inside either pipeline). ``sub`` selects
+    a work subdir so single-pair runs (alpha sweep, --numpy A/B) don't see
+    the multi-pair inputs — the reference crosses EVERY content with EVERY
+    style in its input dirs (data_loader.py:33)."""
     from PIL import Image
-    os.makedirs(f"{WORK}/content", exist_ok=True)
-    os.makedirs(f"{WORK}/style", exist_ok=True)
-    os.makedirs(f"{WORK}/out_ref", exist_ok=True)
-    c = Image.open(f"{REF}/content/UHD_content/green_park-wallpaper-3840x2160.jpg")
-    c.convert("RGB").resize((cw, ch), Image.BICUBIC).save(f"{WORK}/content/green_park.png")
-    s = Image.open(f"{REF}/style/in1.jpg")
-    s.convert("RGB").resize((ssize, ssize), Image.BICUBIC).save(f"{WORK}/style/in1.png")
+    base = f"{WORK}/{sub}" if sub else WORK
+    os.makedirs(f"{base}/content", exist_ok=True)
+    os.makedirs(f"{base}/style", exist_ok=True)
+    os.makedirs(f"{base}/out_ref", exist_ok=True)
+    for name in contents:
+        c = Image.open(CONTENTS[name])
+        c.convert("RGB").resize((cw, ch), Image.BICUBIC).save(
+            f"{base}/content/{name}.png")
+    for name in styles:
+        s = Image.open(STYLES[name])
+        s.convert("RGB").resize((ssize, ssize), Image.BICUBIC).save(
+            f"{base}/style/{name}.png")
 
 
-def run_reference(alpha: str) -> np.ndarray:
+def run_reference(alpha: str, *, sub: str = "", use_numpy: bool = False):
     """Run the reference's WCT.py unmodified (shims above) in a subprocess
-    so its module-level argparse/chdir cannot leak into ours."""
+    so its module-level argparse/chdir cannot leak into ours. Processes the
+    full content x style cross product in the work dir; returns
+    {"content+style": float image} for every output. ``use_numpy`` flips the
+    reference's own --numpy switch (numpy SVD instead of torch SVD,
+    util_wct.py:134-208) — its two internal backends, used here to measure
+    the reference's self-spread."""
+    base = f"{WORK}/{sub}" if sub else WORK
+    numpy_argv = "--numpy" if use_numpy else ""
     driver = f"""
 import os, runpy, sys, types
 import torch
@@ -171,38 +210,74 @@ def _transform(self, cF, sF, csF, alpha):
 _uw.WCT.transform = _transform
 sys.argv = ["WCT.py", "--debug", "--mode", "16x",
             "--alpha", {alpha!r},
-            "--contentPath", {WORK!r} + "/content",
-            "--stylePath", {WORK!r} + "/style",
-            "--outf", {WORK!r} + "/out_ref",
-            "--log_mark", "parity"]
+            "--contentPath", {base!r} + "/content",
+            "--stylePath", {base!r} + "/style",
+            "--outf", {base!r} + "/out_ref",
+            "--log_mark", "parity"] + ({numpy_argv!r}.split() if {numpy_argv!r} else [])
 runpy.run_path({REF!r} + "/WCT.py", run_name="__main__")
 """
+    # one config per directory scan: clear stale outputs so a sweep's runs
+    # (same pair, different alpha/backend) can't shadow each other
+    for f in os.listdir(f"{base}/out_ref"):
+        os.unlink(os.path.join(f"{base}/out_ref", f))
     subprocess.run([sys.executable, "-c", driver], check=True)
     from PIL import Image
-    out = f"{WORK}/out_ref/parity_mode=16x_alpha=1.0_green_park+in1.jpg"
-    if not os.path.exists(out):  # alpha formatting differs across versions
-        cands = [f for f in os.listdir(f"{WORK}/out_ref") if f.endswith(".jpg")]
-        assert cands, "reference produced no output"
-        out = os.path.join(f"{WORK}/out_ref", cands[0])
-    # save_image wrote a JPEG (lossy); re-encode both sides identically below
-    return np.asarray(Image.open(out).convert("RGB"), np.float32) / 255.0
+    outs = {}
+    for f in sorted(os.listdir(f"{base}/out_ref")):
+        if not f.endswith(".jpg"):
+            continue
+        # "parity_mode=16x_alpha=1.0_<content>+<style>.jpg"
+        pair = f.rsplit("_", 1)[-1][: -len(".jpg")]
+        outs[pair] = np.asarray(
+            Image.open(os.path.join(f"{base}/out_ref", f)).convert("RGB"),
+            np.float32) / 255.0
+    assert outs, "reference produced no output"
+    return outs
 
 
-def run_ours(alpha: str) -> np.ndarray:
+_ENGINE = None
+
+
+def run_ours(content: str, style: str, alpha: str, *, sub: str = "") -> np.ndarray:
     from PIL import Image
+    global _ENGINE
     sys.path.insert(0, REPO)
-    if os.environ.get("CD_PARITY_TPU", "0") != "1":
-        # default to the host backend so the tool runs anywhere (and doesn't
-        # contend for the single real chip); CD_PARITY_TPU=1 for the real thing
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    from collaborative_distillation_tpu.wct.engine import WCTEngine
-    c = np.asarray(Image.open(f"{WORK}/content/green_park.png"), np.float32) / 255.0
-    s = np.asarray(Image.open(f"{WORK}/style/in1.png"), np.float32) / 255.0
-    eng = WCTEngine(mode="16x", weights_root=os.path.join(REPO, "weights"))
-    out = eng.stylize(c, s, alpha=float(alpha))
-    Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8)).save(f"{WORK}/ours.png")
+    if _ENGINE is None:
+        if os.environ.get("CD_PARITY_TPU", "0") != "1":
+            # default to the host backend so the tool runs anywhere (and
+            # doesn't contend for the single real chip); CD_PARITY_TPU=1 for
+            # the real thing
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        from collaborative_distillation_tpu.wct.engine import WCTEngine
+        _ENGINE = WCTEngine(mode="16x", weights_root=os.path.join(REPO, "weights"))
+    base = f"{WORK}/{sub}" if sub else WORK
+    c = np.asarray(Image.open(f"{base}/content/{content}.png"), np.float32) / 255.0
+    s = np.asarray(Image.open(f"{base}/style/{style}.png"), np.float32) / 255.0
+    out = _ENGINE.stylize(c, s, alpha=float(alpha), style_key=f"{style}")
+    Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8)).save(
+        f"{WORK}/ours_{content}+{style}_a{alpha}.png")
     return np.asarray(out, np.float32)
+
+
+def _jpeg_like_ref(img: np.ndarray) -> np.ndarray:
+    """The reference's artifact went through one JPEG encode (WCT.py:127
+    vutils.save_image -> .jpg); put ours through the identical encode so
+    codec loss cancels out of the comparison."""
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+        buf, format="JPEG", quality=75)  # PIL default quality, = save_image's
+    return np.asarray(Image.open(buf).convert("RGB"), np.float32) / 255.0
+
+
+def _score_row(label: str, ref: np.ndarray, ours: np.ndarray, rows: list) -> None:
+    ours_j = _jpeg_like_ref(ours)
+    assert ref.shape == ours_j.shape, (label, ref.shape, ours_j.shape)
+    rows.append((label, _psnr(ref, ours_j), _ssim(ref, ours_j)))
+    print(f"{label:34s} PSNR {rows[-1][1]:6.2f} dB   SSIM {rows[-1][2]:.4f}",
+          flush=True)
 
 
 def main() -> None:
@@ -210,33 +285,66 @@ def main() -> None:
     ap.add_argument("--size", default="1024x576",
                     help="content WxH (multiple of 16 keeps both pads trivial)")
     ap.add_argument("--style-size", type=int, default=512)
-    ap.add_argument("--alpha", default="1")
+    ap.add_argument("--alphas", default="1,0.75,0.5,0.25",
+                    help="alpha sweep values (first runs on ALL pairs)")
+    ap.add_argument("--quick", action="store_true",
+                    help="single pair at alpha=1 only (the r4 protocol)")
+    ap.add_argument("--no-ref-ab", action="store_true",
+                    help="skip the reference-internal torch-vs-numpy A/B")
     ap.add_argument("--keep", action="store_true", help="keep the work dir")
     args = ap.parse_args()
     cw, ch = (int(t) for t in args.size.split("x"))
+    alphas = args.alphas.split(",")
+    rows: list = []
 
     if os.path.isdir(WORK) and not args.keep:
         shutil.rmtree(WORK)
-    prepare_inputs(cw, ch, args.style_size)
-    ref = run_reference(args.alpha)
-    ours = run_ours(args.alpha)
-    assert ref.shape == ours.shape, (ref.shape, ours.shape)
 
-    # the reference's artifact went through one JPEG encode (WCT.py:127
-    # vutils.save_image -> .jpg); put ours through the identical encode so
-    # codec loss cancels out of the comparison
-    from PIL import Image
-    import io
-    buf = io.BytesIO()
-    Image.fromarray((np.clip(ours, 0, 1) * 255).astype(np.uint8)).save(
-        buf, format="JPEG", quality=75)  # PIL default quality, = save_image's
-    ours_j = np.asarray(Image.open(buf).convert("RGB"), np.float32) / 255.0
+    # 1) multi-pair at the first alpha: 4 contents x 2 styles, one ref run
+    contents = ("green_park",) if args.quick else tuple(CONTENTS)
+    styles = ("in1",) if args.quick else tuple(STYLES)
+    prepare_inputs(cw, ch, args.style_size, contents, styles)
+    refs = run_reference(alphas[0])
+    for pair in sorted(refs):
+        c, s = pair.split("+")
+        _score_row(f"{pair} alpha={alphas[0]}", refs[pair],
+                   run_ours(c, s, alphas[0]), rows)
 
-    psnr, ssim = _psnr(ref, ours_j), _ssim(ref, ours_j)
-    print(f"content {cw}x{ch} green_park + style {args.style_size}^2 in1, "
-          f"mode=16x alpha={args.alpha}")
-    print(f"PSNR(ref, ours) = {psnr:.2f} dB    SSIM = {ssim:.4f}")
-    print(f"artifacts: {WORK}/out_ref/*.jpg (reference), {WORK}/ours.png (ours)")
+    # 2) alpha sweep on green_park+in1 (its own subdir so the reference's
+    #    cross-product loader sees exactly one pair)
+    if not args.quick:
+        prepare_inputs(cw, ch, args.style_size, ("green_park",), ("in1",),
+                       sub="sweep")
+        for a in alphas[1:]:
+            ref_a = run_reference(a, sub="sweep")["green_park+in1"]
+            _score_row(f"green_park+in1 alpha={a}", ref_a,
+                       run_ours("green_park", "in1", a, sub="sweep"), rows)
+
+    # 3) the reference's INTERNAL spread: its torch SVD backend vs its own
+    #    --numpy SVD backend on the same pair (util_wct.py:134-208). This is
+    #    the reference's self-PSNR — the natural scale against which our
+    #    cross-implementation PSNR should be read.
+    if not (args.quick or args.no_ref_ab):
+        if "sweep" not in os.listdir(WORK):
+            prepare_inputs(cw, ch, args.style_size, ("green_park",), ("in1",),
+                           sub="sweep")
+        ref_t = run_reference(alphas[0], sub="sweep")["green_park+in1"]
+        ref_n = run_reference(alphas[0], sub="sweep",
+                              use_numpy=True)["green_park+in1"]
+        psnr, ssim = _psnr(ref_t, ref_n), _ssim(ref_t, ref_n)
+        rows.append(("REF-INTERNAL torch-vs-numpy", psnr, ssim))
+        print(f"{'REF-INTERNAL torch-vs-numpy':34s} PSNR {psnr:6.2f} dB   "
+              f"SSIM {ssim:.4f}")
+
+    print(f"\ncontent {cw}x{ch}, style {args.style_size}^2, mode=16x; "
+          f"{len(rows)} rows; artifacts under {WORK}/")
+    ours_rows = [r for r in rows if not r[0].startswith("REF-INTERNAL")
+                 and r[1] != float("inf")]
+    if ours_rows:
+        import statistics
+        vals = [r[1] for r in ours_rows]
+        print(f"ours-vs-ref mean PSNR {statistics.mean(vals):.2f} dB "
+              f"(min {min(vals):.2f})")
 
 
 if __name__ == "__main__":
