@@ -226,8 +226,11 @@ runpy.run_path({REF!r} + "/WCT.py", run_name="__main__")
     for f in sorted(os.listdir(f"{base}/out_ref")):
         if not f.endswith(".jpg"):
             continue
-        # "parity_mode=16x_alpha=1.0_<content>+<style>.jpg"
-        pair = f.rsplit("_", 1)[-1][: -len(".jpg")]
+        # "parity_mode=16x_alpha=<alpha>_<content>+<style>.jpg" — strip the
+        # fixed prefix (content names may themselves contain underscores)
+        prefix = f"parity_mode=16x_alpha={float(alpha)}_"  # argparse float repr
+        assert f.startswith(prefix), (f, prefix)
+        pair = f[len(prefix): -len(".jpg")]
         outs[pair] = np.asarray(
             Image.open(os.path.join(f"{base}/out_ref", f)).convert("RGB"),
             np.float32) / 255.0
