@@ -50,7 +50,33 @@ def build_app(engine, log, *, max_styles: int = 256,
     # async, so "invalidate then recompute" alone cannot prevent that race).
     styles: OrderedDict[str, tuple[np.ndarray, str]] = OrderedDict()
     gen_counter = iter(range(1 << 62))
-    lock = threading.Lock()          # serializes device work (one accelerator)
+    class _GaugedLock:
+        """Engine lock with an observable queue: depth counts threads
+        waiting for OR holding the device. /metrics reports the
+        instantaneous and high-water values so a load test can see
+        contention directly instead of inferring it from tail latency."""
+
+        def __init__(self):
+            self._lock = threading.Lock()
+            self._meta = threading.Lock()
+            self.depth = 0
+            self.max_depth = 0
+
+        def __enter__(self):
+            with self._meta:
+                self.depth += 1
+                if self.depth > self.max_depth:
+                    self.max_depth = self.depth
+            self._lock.acquire()
+            return self
+
+        def __exit__(self, *exc):
+            self._lock.release()
+            with self._meta:
+                self.depth -= 1
+            return False
+
+    lock = _GaugedLock()             # serializes device work (one accelerator)
     registry_lock = threading.Lock()  # guards the styles dict only
 
     def register(name: str, arr: np.ndarray) -> str:
@@ -136,6 +162,7 @@ def build_app(engine, log, *, max_styles: int = 256,
                 "p50": round(lats[len(lats) // 2], 3),
                 "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
                 "max": round(lats[-1], 3)}
+        out["engine_queue"] = {"depth": lock.depth, "max": lock.max_depth}
         return out
 
     t_start = time.time()

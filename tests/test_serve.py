@@ -287,6 +287,10 @@ def test_metrics_endpoint(server, rng):
     with urllib.request.urlopen(server + "/metrics") as resp:
         m2 = json.loads(resp.read())
     assert m2["stylize_errors"] >= 1
+    # engine-lock queue gauge: idle between requests, but the successful
+    # stylize above must have driven the high-water mark to >= 1
+    assert m2["engine_queue"]["depth"] == 0
+    assert m2["engine_queue"]["max"] >= 1
 
 
 def test_style_blend_over_http(server, rng):
