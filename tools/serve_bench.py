@@ -30,8 +30,8 @@ CONTENT = ("/root/reference/PytorchWCT/content/UHD_content/"
 STYLE = "/root/reference/PytorchWCT/style/in1.jpg"
 
 
-def _jpeg_2k() -> bytes:
-    img = Image.open(CONTENT).convert("RGB").resize((2048, 1088), Image.LANCZOS)
+def _jpeg_content(w: int, h: int) -> bytes:
+    img = Image.open(CONTENT).convert("RGB").resize((w, h), Image.LANCZOS)
     buf = io.BytesIO()
     img.save(buf, format="JPEG", quality=92)
     return buf.getvalue()
@@ -67,10 +67,13 @@ def main() -> int:
     ap.add_argument("--requests", type=int, default=6,
                     help="sequential requests per client")
     ap.add_argument("--alpha", type=float, default=0.8)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--height", type=int, default=1088)
     args = ap.parse_args()
 
-    body = _jpeg_2k()
-    print(f"content: 2048x1088 JPEG, {len(body) / 1e6:.2f} MB", flush=True)
+    body = _jpeg_content(args.width, args.height)
+    print(f"content: {args.width}x{args.height} JPEG, "
+          f"{len(body) / 1e6:.2f} MB", flush=True)
 
     with open(STYLE, "rb") as f:
         _post(args.port, "/style/bench", f.read())
