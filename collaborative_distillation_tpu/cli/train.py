@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "sequentially 5..1 (the README.md:69-85 workflow "
                          "as one command; per-stage --BE/--BD/--SE/--SD "
                          "overrides don't apply then)")
+    ap.add_argument("--aug", type=str, default="flip",
+                    choices=("flip", "strong"),
+                    help="content augmentation: 'flip' = the reference's "
+                         "crop+hflip (data_loader.py:26-48); 'strong' adds "
+                         "scale jitter, the dihedral group, channel "
+                         "permutation and intensity jitter (small-corpus "
+                         "training, e.g. the in-container oracle)")
     ap.add_argument("--cache_data", action="store_true",
                     help="cache decoded+resized training images in RAM "
                          "(small datasets only; crop/flip still random)")
@@ -182,7 +189,8 @@ def _run_stage(args, stage: int) -> int:
     # uint8 transport: 4x less host->device traffic per batch; the jit'd
     # step normalizes to [0,1] on device (trainer.py step())
     dataset = ImageFolderDataset(args.content_train, args.shorter_side,
-                                 cache=args.cache_data, uint8=True)
+                                 cache=args.cache_data, uint8=True,
+                                 aug=args.aug)
     loader = Loader(dataset, args.batch_size)
     if len(loader) == 0:
         raise SystemExit(

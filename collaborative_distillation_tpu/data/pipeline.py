@@ -99,10 +99,22 @@ class _SafeRng:
 
 
 class ImageFolderDataset:
-    """Training content images: resize shorter side, random 256-crop, hflip."""
+    """Training content images: resize shorter side, random 256-crop, hflip.
+
+    ``aug="strong"`` (opt-in; the reference's recipe is crop+hflip only,
+    data_loader.py:26-48) layers continuous scale jitter (log-uniform
+    re-resize of the cached array down to the crop size), the full dihedral
+    group (flips + 90-degree rotations), random channel permutation, and a
+    mild intensity affine on top. Built for the in-container training-quality
+    oracle, where the corpus is a few hundred tiles from ~8 source images
+    rather than COCO's 118k: with crop+hflip alone the student reaches the
+    shipped decoder's TRAIN loss but generalizes ~4 dB short on held-out
+    content (docs/TRAINING.md) — the gap is data diversity, which these
+    label-free-valid transforms (reconstruction target = the input itself)
+    partially buy back."""
 
     def __init__(self, img_dir: str, shorter_side: int = 300, crop: int = 256, seed: int = 0,
-                 cache: bool = False, uint8: bool = False):
+                 cache: bool = False, uint8: bool = False, aug: str = "flip"):
         self.paths = sorted(
             os.path.join(img_dir, f) for f in os.listdir(img_dir) if is_img(f))
         if not self.paths:
@@ -118,6 +130,9 @@ class ImageFolderDataset:
         # uint8 output: host->device batches as raw bytes (the trainer
         # normalizes on device); also shrinks the cache 4x.
         self.uint8 = uint8
+        if aug not in ("flip", "strong"):
+            raise ValueError(f"unknown aug mode {aug!r}")
+        self.aug = aug
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -148,10 +163,49 @@ class ImageFolderDataset:
         else:
             arr = self._decode(path)
         rng = self._rng.child()
+        if self.aug == "strong":
+            return self._strong_aug(arr, rng), path
         arr = _random_crop(arr, self.crop, rng)
         if rng.random() < 0.5:
             arr = arr[:, ::-1].copy()
         return arr, path
+
+    def _strong_aug(self, arr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        h, w = arr.shape[:2]
+        short = min(h, w)
+        # continuous scale jitter: log-uniform target shorter side in
+        # [crop, cached shorter side] — with pyramid-tiled sources this
+        # fills the gaps between the discrete pyramid levels
+        if short > self.crop:
+            t = int(round(float(np.exp(rng.uniform(
+                np.log(self.crop), np.log(short))))))
+            if t < short:
+                nh = max(self.crop, int(round(h * t / short)))
+                nw = max(self.crop, int(round(w * t / short)))
+                a8 = arr if arr.dtype == np.uint8 else (
+                    arr * 255).astype(np.uint8)
+                im = Image.fromarray(a8).resize((nw, nh), Image.BILINEAR)
+                a8 = np.asarray(im, np.uint8)
+                arr = a8 if self.uint8 else a8.astype(np.float32) / 255.0
+        arr = _random_crop(arr, self.crop, rng)
+        k = int(rng.integers(0, 8))  # dihedral group (square crop)
+        if k & 1:
+            arr = arr[:, ::-1]
+        if k & 2:
+            arr = arr[::-1]
+        if k & 4:
+            arr = np.transpose(arr, (1, 0, 2))
+        if rng.random() < 0.5:
+            arr = arr[..., rng.permutation(3)]
+        if rng.random() < 0.5:  # mild intensity affine
+            a = float(rng.uniform(0.85, 1.15))
+            b = float(rng.uniform(-0.08, 0.08))
+            if arr.dtype == np.uint8:
+                arr = np.clip(arr.astype(np.float32) * a + b * 255.0,
+                              0.0, 255.0).astype(np.uint8)
+            else:
+                arr = np.clip(arr * a + b, 0.0, 1.0)
+        return np.ascontiguousarray(arr)
 
 
 class NpyFolderDataset:

@@ -40,9 +40,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv1x1_lane128", "conv3x3_lane128", "conv3x3_tiled",
+__all__ = ["conv1x1_lane128", "conv3x3_lane128", "conv3x3_subin",
+           "conv3x3_tiled",
            "make_pad_columns", "pick_block_h", "pick_block_h_1x1",
-           "pick_tiles_3x3", "supported",
+           "pick_subin", "pick_tiles_3x3", "supported",
            "pallas_conv_enabled", "disable_pallas_conv", "kernel_compiles",
            "try_conv1x1_pallas", "try_conv3x3_tiled"]
 
@@ -78,6 +79,13 @@ def pallas_conv_enabled() -> bool:
         if os.environ.get(var, "1").strip().lower() in ("0", "off", "false"):
             return False
     return True
+
+
+def _subdense_enabled() -> bool:
+    """A/B knob for the native sub-dense tiled-conv route
+    (CD_TPU_SUBDENSE=0 restores the channel-padded route everywhere)."""
+    return os.environ.get("CD_TPU_SUBDENSE", "1").strip().lower() not in (
+        "0", "off", "false")
 
 
 def disable_pallas_conv(reason: str = "") -> None:
@@ -588,16 +596,24 @@ def pick_tiles_3x3(h: int, w: int, cin: int, cout: int,
     sub = 8 if itemsize == 4 else 16
     if h < 2 or w < 2 * sub or w % sub:
         return None
-    # Mosaic rejects sub-128 lane dims in the manual DMAs ("slice shape
-    # along dimension 2 must be aligned to tiling (128)"), so only whole-
-    # lane-tile channel counts reach the kernel; sub-dense counts are
-    # zero-padded to the tile by try_conv3x3_tiled(pad_channels=True) when
-    # the surrounding pipeline holds maps C-minor (the packed pipeline),
-    # and stay on XLA otherwise.
-    if cin % 128 or cout % 128:
+    # Mosaic's lane-alignment restriction ("slice shape along dimension 2
+    # must be aligned to tiling (128)") binds only DMA lane-dim SLICES —
+    # which this kernel issues only on multi-tile cin (nci > 1). Sub-dense
+    # channel counts (cin/cout < 128: the packed pipeline's 12/24/64/96
+    # transition maps) therefore run NATIVELY as single sub-dense tiles:
+    # every DMA copies the whole minor dim, VMEM physically pads the lane
+    # tile for free, and no full-map channel pad/slice is materialised in
+    # HBM (those pads were 20% of the r4 UHD trace). Multi-tile channel
+    # counts must stay whole-lane-tile multiples.
+    if (cin % 128 and cin > 128) or (cout % 128 and cout > 128):
         return None
-    ci_t = 128
-    co_opts = [256, 128] if (cout % 256 == 0 and cin >= 256) else [min(cout, 128)]
+    ci_t = min(cin, 128)
+    if cout % 128:
+        co_opts = [cout]
+    elif cout % 256 == 0 and cin >= 256:
+        co_opts = [256, 128]
+    else:
+        co_opts = [min(cout, 128)]
     bws = [d for d in range(sub, min(w, 2560) + 1, sub) if w % d == 0]
     fallback = None
     for co_t in co_opts:
@@ -820,8 +836,56 @@ def try_conv3x3_tiled(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
             and jax.default_backend() == "tpu"
             and x.dtype in (jnp.float32, jnp.bfloat16)):
         return None
+    if not pad_channels and (cin % _LANES or cout % _LANES):
+        # unpacked callers (ops/conv.py): XLA holds skinny-C maps W-minor,
+        # where even a native sub-dense kernel call forces a full relayout
+        # — the r4 teacher-trace lesson. Sub-dense routes are packed-only.
+        return None
     ci_pad = (-cin % _LANES) if pad_channels else 0
     co_pad = (-cout % _LANES) if pad_channels else 0
+    if ci_pad and _subdense_enabled():
+        # Sub-dense INPUT: read the map natively via the BlockSpec-pipelined
+        # kernel — the full-map zero-pad to 128 lanes this replaces was
+        # EVERY pad in the r5 HEAD UHD trace (90 ms of 591 ms).
+        plan = pick_subin(h, w_, cin, cout, x.dtype.itemsize)
+        if plan is not None:
+            bh2, bw2 = plan
+            nh2 = h // bh2
+            if kernel_compiles(
+                    conv3x3_subin,
+                    (jax.ShapeDtypeStruct((h, w_, cin), x.dtype),
+                     jax.ShapeDtypeStruct((h + 2, _EDGE, cin), x.dtype),
+                     jax.ShapeDtypeStruct((9, cin, cout), x.dtype),
+                     jax.ShapeDtypeStruct((cout,), jnp.float32)),
+                    relu=relu, block_h=bh2, block_w=bw2):
+                xk = x[0]
+                plr = make_pad_columns(xk, f)
+                return conv3x3_subin(
+                    xk, plr, w.reshape(9, cin, cout),
+                    None if b is None else b.reshape(cout).astype(jnp.float32),
+                    relu=relu, block_h=bh2, block_w=bw2)[None]
+    if co_pad and _subdense_enabled():
+        # Native sub-dense OUTPUT: the kernel emits cout < 128 as a single
+        # sub-dense tile (see pick_tiles_3x3), killing the full-map
+        # `y[..., :cout]` slice-back (plus the zero weight columns) on every
+        # decoder narrowing conv — part of the 20%-pads/13%-copies third of
+        # the r4 UHD trace. INPUT stays zero-padded to the lane tile: probed
+        # on-chip (r5), every sub-128-lane manual-DMA window (ci_tile 24/64/
+        # 96) crashes the Mosaic compiler subprocess, while every sub-dense
+        # co_tile compiles — the restriction is the x-window DMA, not the
+        # store. (The probe guards the attempt anyway.)
+        tiles = pick_tiles_3x3(h, w_, cin + ci_pad, cout, x.dtype.itemsize)
+        if tiles is not None:
+            bh, bw, ci_t, co_t = tiles
+            if kernel_compiles(
+                    conv3x3_tiled,
+                    (jax.ShapeDtypeStruct((h, w_, cin + ci_pad), x.dtype),
+                     jax.ShapeDtypeStruct((h + 2, _EDGE, cin + ci_pad), x.dtype),
+                     jax.ShapeDtypeStruct((9, cin + ci_pad, cout), x.dtype),
+                     jax.ShapeDtypeStruct((cout,), jnp.float32)),
+                    relu=relu, block_h=bh, block_w=bw,
+                    ci_tile=ci_t, co_tile=co_t):
+                co_pad = 0
     ci, co = cin + ci_pad, cout + co_pad
     tiles = pick_tiles_3x3(h, w_, ci, co, x.dtype.itemsize)
     if tiles is None:
@@ -854,3 +918,187 @@ def try_conv3x3_tiled(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
     if co_pad:
         y = y[..., :cout]
     return y[None]
+
+
+# ---------------------------------------------------------------------------
+# Sub-dense-INPUT 3x3 conv: BlockSpec-pipelined halo delivery.
+#
+# The cascade's encoder-side transition convs read sub-dense maps (the f=4
+# packed image at 12 lanes, encoder firsts at 24, post-pool maps at 64, the
+# stage-1 WCT-applied map at 96). The manual-DMA kernels above cannot take
+# them — probed on-chip (r5): every make_async_copy touching a sub-128-lane
+# array crashes the Mosaic compiler subprocess — so the router used to
+# zero-pad the input map to 128 lanes, a full-map HBM pad that the r5 HEAD
+# trace puts at 90 ms of the 591 ms UHD cascade (pads of [4096,2560,12],
+# [4096,1280,24], [2048,1280,64], ... — every single pad in the trace is
+# one of these). BlockSpec pipelines, by contrast, deliver sub-dense refs
+# natively (the conv1x1 kernel has always run 96 lanes), and the other
+# primitives this kernel needs all compile on sub-dense refs (probed):
+# major-dim merges ((bh, bw, c) -> (bh*bw, c)), sublane-shift staged
+# copies, single-column VPU stores, and MXU dots with K < 128.
+#
+# Structure: grid (nh, nw); the core block plus eight halo neighbors (N, S,
+# W, E, four corners) and the per-block pad-column rows arrive as separate
+# BlockSpec inputs (overlapping windows are impossible in one BlockSpec, so
+# the halo is decomposed into clamped single-row / sub-wide-column blocks);
+# the kernel composes them into a (bh+2, bw+2*sub, c) VMEM window, then
+# runs the same 9-shifted-dot tap loop as the kernels above. At W-edge
+# blocks the edge halo chunk is a placeholder re-read of a valid aligned
+# range — only its tap column is read, and that column is overwritten with
+# the precomputed packed-reflect pad column, exactly like the DMA kernels.
+# ---------------------------------------------------------------------------
+
+
+def _vmem_estimate_subin(bh: int, bw: int, sub: int, cin: int, cout: int,
+                         itemsize: int) -> int:
+    li, lo = _lanes(cin), _lanes(cout)
+    core = 2 * bh * bw * li * itemsize
+    ns = 4 * bw * li * itemsize
+    we = 4 * bh * sub * li * itemsize
+    corners = 8 * sub * li * itemsize
+    plrb = 2 * (bh + 2) * 8 * li * itemsize
+    wts = 9 * -(-cin // 8) * 8 * lo * itemsize
+    xwin = (bh + 2) * (bw + 2 * sub) * li * itemsize
+    xs = (bh + 2) * bw * li * itemsize
+    out = 2 * bh * bw * lo * itemsize
+    acc = bh * bw * lo * 4
+    return int((core + ns + we + corners + plrb + wts + xwin + xs + out
+                + acc) * 1.15)
+
+
+def pick_subin(h: int, w: int, cin: int, cout: int,
+               itemsize: int) -> tuple[int, int] | None:
+    """(block_h, block_w) for conv3x3_subin, or None when out of scope
+    (dense input should use the DMA kernels; cout must be one lane tile)."""
+    sub = 8 if itemsize == 4 else 16
+    if not (0 < cin < _LANES and 0 < cout <= _LANES):
+        return None
+    if h < 2 or w < 2 * sub or w % sub:
+        return None
+    best = None
+    bws = [d for d in range(sub, min(w, 2048) + 1, sub) if w % d == 0]
+    for bw in bws:
+        for bh in (16, 8, 4, 2, 1):
+            if h % bh == 0 and _vmem_estimate_subin(
+                    bh, bw, sub, cin, cout, itemsize) <= _VMEM_BUDGET:
+                if best is None or (bh * bw, bw) > (best[0] * best[1], best[1]):
+                    best = (bh, bw)
+                break
+    return best
+
+
+def _subin_kernel(core, xn, xs_, xw, xe, cnw, cne, csw, cse, plrb, w_ref,
+                  b_ref, o_ref, xwin, stg, *, bh: int, bw: int, sub: int,
+                  relu: bool):
+    nw_ = pl.num_programs(1)
+    wb = pl.program_id(1)
+    cin = core.shape[-1]
+    cout = o_ref.shape[-1]
+    # compose the padded window: interior at column offset `sub`
+    xwin[1:bh + 1, sub:sub + bw] = core[:]
+    xwin[0:1, sub:sub + bw] = xn[:]
+    xwin[bh + 1:bh + 2, sub:sub + bw] = xs_[:]
+    xwin[1:bh + 1, 0:sub] = xw[:]
+    xwin[1:bh + 1, sub + bw:sub + bw + sub] = xe[:]
+    xwin[0:1, 0:sub] = cnw[:]
+    xwin[0:1, sub + bw:sub + bw + sub] = cne[:]
+    xwin[bh + 1:bh + 2, 0:sub] = csw[:]
+    xwin[bh + 1:bh + 2, sub + bw:sub + bw + sub] = cse[:]
+
+    @pl.when(wb == 0)
+    def _():
+        xwin[:, sub - 1:sub, :] = plrb[0, :, 0:1, :]
+
+    @pl.when(wb == nw_ - 1)
+    def _():
+        xwin[:, sub + bw:sub + bw + 1, :] = plrb[0, :, 1:2, :]
+
+    xb = xwin[:]
+    acc = jnp.zeros((bh * bw, cout), jnp.float32)
+    for kx in range(3):
+        if kx == 1:
+            v3 = xb[:, sub:sub + bw, :]
+        else:
+            stg[:] = xb[:, sub - 1 + kx:sub - 1 + kx + bw, :]
+            v3 = stg[:]
+        for ky in range(3):
+            v = v3[ky:ky + bh].reshape(bh * bw, cin)
+            acc = acc + jnp.dot(v, w_ref[3 * ky + kx],
+                                preferred_element_type=jnp.float32)
+    y = acc + b_ref[0].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0)
+    o_ref[:] = y.reshape(bh, bw, cout).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "block_h", "block_w", "interpret"))
+def conv3x3_subin(x: jax.Array, plr: jax.Array, w9: jax.Array,
+                  b: jax.Array | None, *, relu: bool = True, block_h: int,
+                  block_w: int, interpret: bool = False) -> jax.Array:
+    """Reflect-padded 3x3 conv on an UNPADDED sub-dense (H, W, Cin<128) map
+    -> (H, W, Cout<=128), channels taken natively (no lane zero-pad
+    anywhere). Same contract as :func:`conv3x3_tiled` otherwise; ``plr``
+    from :func:`make_pad_columns`."""
+    h, w_, cin = x.shape
+    _, wcin, cout = w9.shape
+    assert w9.shape[0] == 9 and wcin == cin, (x.shape, w9.shape)
+    assert plr.shape == (h + 2, _EDGE, cin), (plr.shape, x.shape)
+    bh, bw = block_h, block_w
+    assert h % bh == 0 and w_ % bw == 0, (x.shape, bh, bw)
+    sub = 8 if x.dtype.itemsize == 4 else 16
+    nh, nw_ = h // bh, w_ // bw
+    nwsub = bw // sub
+    bias = (jnp.zeros((1, cout), jnp.float32) if b is None
+            else b.reshape(1, cout).astype(jnp.float32))
+    # per-block pad-column rows: plrb[hb] = plr[hb*bh : hb*bh + bh + 2, :2]
+    rows = (jnp.arange(nh)[:, None] * bh + jnp.arange(bh + 2)[None, :])
+    plrb = plr[:, :2].astype(x.dtype)[rows]            # (nh, bh+2, 2, cin)
+
+    def row_n(i):
+        return jnp.where(i == 0, 1, i * bh - 1)
+
+    def row_s(i):
+        return jnp.where(i == nh - 1, h - 2, i * bh + bh)
+
+    def col_w(j):
+        return jnp.where(j == 0, 0, j * nwsub - 1)
+
+    def col_e(j):
+        return jnp.where(j == nw_ - 1, w_ // sub - 1, (j + 1) * nwsub)
+
+    specs = [
+        pl.BlockSpec((bh, bw, cin), lambda i, j: (i, j, 0)),          # core
+        pl.BlockSpec((1, bw, cin), lambda i, j: (row_n(i), j, 0)),    # N
+        pl.BlockSpec((1, bw, cin), lambda i, j: (row_s(i), j, 0)),    # S
+        pl.BlockSpec((bh, sub, cin), lambda i, j: (i, col_w(j), 0)),  # W
+        pl.BlockSpec((bh, sub, cin), lambda i, j: (i, col_e(j), 0)),  # E
+        pl.BlockSpec((1, sub, cin),
+                     lambda i, j: (row_n(i), col_w(j), 0)),           # NW
+        pl.BlockSpec((1, sub, cin),
+                     lambda i, j: (row_n(i), col_e(j), 0)),           # NE
+        pl.BlockSpec((1, sub, cin),
+                     lambda i, j: (row_s(i), col_w(j), 0)),           # SW
+        pl.BlockSpec((1, sub, cin),
+                     lambda i, j: (row_s(i), col_e(j), 0)),           # SE
+        pl.BlockSpec((1, bh + 2, 2, cin), lambda i, j: (i, 0, 0, 0)),  # plrb
+        pl.BlockSpec(memory_space=pltpu.VMEM),                        # w9
+        pl.BlockSpec(memory_space=pltpu.VMEM),                        # bias
+    ]
+    kernel = functools.partial(_subin_kernel, bh=bh, bw=bw, sub=sub,
+                               relu=relu)
+    xd = x
+    return pl.pallas_call(
+        kernel,
+        grid=(nh, nw_),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bh, bw, cout), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w_, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, bw + 2 * sub, cin), x.dtype),
+            pltpu.VMEM((bh + 2, bw, cin), x.dtype),
+        ],
+        name="conv3x3_subin",
+        interpret=interpret,
+    )(xd, xd, xd, xd, xd, xd, xd, xd, xd, plrb,
+      w9.astype(x.dtype), bias)

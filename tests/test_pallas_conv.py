@@ -255,6 +255,7 @@ def test_conv1x1_subdense_native(rng):
 
 from collaborative_distillation_tpu.ops.conv import conv3x3 as _xla_conv3x3
 from collaborative_distillation_tpu.ops.pallas.conv import (
+    conv3x3_subin,
     conv3x3_tiled,
     pick_tiles_3x3,
     try_conv3x3_tiled,
@@ -317,13 +318,20 @@ def test_tiled_picker_scope():
             _VMEM_BUDGET, _vmem_estimate_tiled)
         assert _vmem_estimate_tiled(bh, bw, 8, ci_t, co_t, 4,
                                     nci=ci // ci_t) <= _VMEM_BUDGET
-    # ...and out-of-scope shapes are declined (sub-lane-tile channels /
-    # misaligned W): Mosaic rejects sub-128 lane dims in the manual DMAs,
-    # so C=64 teacher layers stay on XLA (see pick_tiles_3x3 docstring)
-    assert pick_tiles_3x3(64, 64, 3, 64, 4) is None        # RGB input conv
-    assert pick_tiles_3x3(64, 64, 16, 16, 4) is None       # 16x student widths
-    assert pick_tiles_3x3(1024, 10240, 64, 64, 4) is None  # conv1_2 class
-    assert pick_tiles_3x3(512, 5120, 64, 128, 4) is None   # conv2_1 class
+    # sub-dense channel counts (< 128) are single sub-dense tiles now — the
+    # Mosaic lane-alignment restriction binds only DMA lane-dim SLICES
+    # (nci > 1), so these run natively with NO full-map channel pad/slice
+    # (they were 20% of the r4 UHD trace)
+    for h, w, ci, co in [(64, 64, 16, 16), (1024, 10240, 64, 64),
+                         (512, 5120, 64, 128), (4096, 2560, 12, 96),
+                         (4096, 1280, 128, 24)]:
+        plan = pick_tiles_3x3(h, w, ci, co, 4)
+        assert plan is not None, (h, w, ci, co)
+        bh, bw, ci_t, co_t = plan
+        assert ci_t == min(ci, 128) and co % co_t == 0, plan
+    # ...while misaligned MULTI-tile channels and degenerate shapes decline
+    assert pick_tiles_3x3(64, 64, 192, 128, 4) is None     # cin > 128, % 128
+    assert pick_tiles_3x3(64, 64, 128, 200, 4) is None     # cout > 128, % 128
     assert pick_tiles_3x3(64, 60, 128, 128, 4) is None     # W % sublane != 0
     assert pick_tiles_3x3(1, 64, 128, 128, 4) is None      # H too small
 
@@ -356,6 +364,102 @@ def test_tiled_router_gates(monkeypatch, rng):
     # kill switch honored even if the backend were TPU
     monkeypatch.setenv("CD_TPU_PALLAS", "0")
     assert try_conv3x3_tiled(x, w, None) is None
+
+
+SUBDENSE_TILED_CASES = [
+    # (H, Wp, fc_in, fc_out, f) — the cascade's 26 sub-dense transition
+    # convs, scaled down: packed image ingress (12->96), encoder firsts
+    # (24->128), post-pool halves (64->128), decoder narrowings (128->64,
+    # 128->24), decoder egress (96->12). Native single sub-dense tiles —
+    # no channel pad/slice anywhere.
+    (32, 64, 12, 96, 4),
+    (16, 32, 24, 128, 8),
+    (16, 32, 128, 64, 4),
+    (8, 32, 64, 128, 2),
+    (8, 16, 128, 24, 8),
+    (16, 64, 96, 12, 4),
+]
+
+
+@pytest.mark.parametrize("case", SUBDENSE_TILED_CASES,
+                         ids=[str(c) for c in SUBDENSE_TILED_CASES])
+def test_tiled_subdense_native_matches_xla(case, rng):
+    """Sub-dense (cin/cout < 128) maps run the tiled kernel NATIVELY —
+    parity against the XLA packed conv with the packed-reflect pad
+    structure, no zero-padding to the lane tile anywhere."""
+    h, wp, fc, fco, f = case
+    x = jnp.asarray(rng.standard_normal((h, wp, fc)), jnp.float32)
+    w9 = jnp.asarray(rng.standard_normal((9, fc, fco)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(fco), jnp.float32)
+    plan = pick_tiles_3x3(h, wp, fc, fco, 4)
+    assert plan is not None and plan[2] == min(fc, 128), plan
+    bh, bw, ci_t, co_t = plan
+    xp = jnp.pad(x[None], ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    xp = _reflect_pad_w_packed(xp, f)
+    ref = jax.lax.conv_general_dilated(
+        xp, w9.reshape(3, 3, fc, fco), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    ref = jnp.maximum(ref + b, 0)[0]
+    got = conv3x3_tiled(x, make_pad_columns(x, f), w9, b, relu=True,
+                        block_h=bh, block_w=bw, ci_tile=ci_t, co_tile=co_t,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+SUBIN_CASES = [
+    # (H, Wp, fc_in, fc_out, f, bh, bw) — the sub-dense-INPUT classes the
+    # BlockSpec kernel serves natively (multi-block grids in both dims so
+    # every halo path — N/S rows, W/E chunks, corners, pad columns — runs)
+    (32, 64, 12, 96, 4, 8, 16),    # s1 packed-image ingress
+    (16, 48, 24, 128, 8, 4, 16),   # encoder-first class
+    (16, 32, 64, 128, 2, 8, 8),    # post-pool class
+    (8, 32, 96, 12, 4, 2, 16),     # s1 decoder egress (sub in AND out)
+    (4, 16, 12, 96, 4, 4, 16),     # single row-block
+]
+
+
+@pytest.mark.parametrize("case", SUBIN_CASES, ids=[str(c) for c in SUBIN_CASES])
+def test_subin_matches_xla_packed_conv(case, rng):
+    """conv3x3_subin (BlockSpec halo delivery, native sub-dense channels)
+    == the XLA packed conv. This kernel replaces the full-map 128-lane
+    input zero-pads that were every pad in the r5 HEAD UHD trace (90 ms);
+    manual-DMA kernels cannot take sub-dense arrays (Mosaic crash, probed)."""
+    h, wp, fc, fco, f, bh, bw = case
+    x = jnp.asarray(rng.standard_normal((h, wp, fc)), jnp.float32)
+    w9 = jnp.asarray(rng.standard_normal((9, fc, fco)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(fco), jnp.float32)
+    xp = jnp.pad(x[None], ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    xp = _reflect_pad_w_packed(xp, f)
+    ref = jax.lax.conv_general_dilated(
+        xp, w9.reshape(3, 3, fc, fco), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    ref = jnp.maximum(ref + b, 0)[0]
+    got = conv3x3_subin(x, make_pad_columns(x, f), w9, b, relu=True,
+                        block_h=bh, block_w=bw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_subin_picker_scope():
+    from collaborative_distillation_tpu.ops.pallas.conv import (
+        _VMEM_BUDGET, _vmem_estimate_subin, pick_subin)
+    # every sub-dense-input cascade class gets a plan that fits the budget
+    for h, w, ci, co in [(4096, 2560, 12, 96), (4096, 1280, 24, 128),
+                         (2048, 1280, 64, 128), (1024, 1280, 64, 128),
+                         (512, 1280, 64, 128), (4096, 2560, 96, 12),
+                         (2048, 256, 24, 128)]:
+        plan = pick_subin(h, w, ci, co, 4)
+        assert plan is not None, (h, w, ci, co)
+        bh, bw = plan
+        assert h % bh == 0 and w % bw == 0 and bw % 8 == 0
+        assert _vmem_estimate_subin(bh, bw, 8, ci, co, 4) <= _VMEM_BUDGET
+    # dense input or multi-tile output: not this kernel's scope
+    assert pick_subin(512, 1280, 128, 64, 4) is None
+    assert pick_subin(512, 1280, 64, 256, 4) is None
+    assert pick_subin(512, 60, 64, 128, 4) is None   # W % sublane != 0
 
 
 PACKED_TILED_CASES = [
@@ -463,19 +567,41 @@ def test_tiled_router_pads_channels(monkeypatch, rng):
 
     monkeypatch.setattr(conv.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(conv, "kernel_compiles", lambda *a, **k: True)
-    real = conv.conv3x3_tiled
+    real_tiled, real_subin = conv.conv3x3_tiled, conv.conv3x3_subin
+    used = []
 
-    def interp_kernel(*args, **kw):
+    def interp_tiled(*args, **kw):
         kw["interpret"] = True
-        return real(*args, **kw)
+        used.append("tiled")
+        return real_tiled(*args, **kw)
 
-    monkeypatch.setattr(conv, "conv3x3_tiled", interp_kernel)
+    def interp_subin(*args, **kw):
+        kw["interpret"] = True
+        used.append("subin")
+        return real_subin(*args, **kw)
+
+    monkeypatch.setattr(conv, "conv3x3_tiled", interp_tiled)
+    monkeypatch.setattr(conv, "conv3x3_subin", interp_subin)
+
+    # default: the sub-dense INPUT routes to the native BlockSpec kernel
     got = conv.try_conv3x3_tiled(
         x, jnp.asarray(wpk).reshape(3, 3, f * ci, f * co), jnp.asarray(bpk),
         relu=True, f=f, pad_channels=True)
-    assert got is not None and got.shape == ref.shape
+    assert got is not None and got.shape == ref.shape and used == ["subin"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+    # CD_TPU_SUBDENSE=0: the channel-padded tiled route (the fallback)
+    used.clear()
+    monkeypatch.setenv("CD_TPU_SUBDENSE", "0")
+    got = conv.try_conv3x3_tiled(
+        x, jnp.asarray(wpk).reshape(3, 3, f * ci, f * co), jnp.asarray(bpk),
+        relu=True, f=f, pad_channels=True)
+    assert got is not None and got.shape == ref.shape and used == ["tiled"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    monkeypatch.delenv("CD_TPU_SUBDENSE")
+
     # without pad_channels the sub-dense shape is declined
     assert conv.try_conv3x3_tiled(
         x, jnp.asarray(wpk).reshape(3, 3, f * ci, f * co), jnp.asarray(bpk),

@@ -31,9 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CATEGORIES = [
-    ("pallas conv3x3", re.compile(r"conv3x3_lane128|conv3x3_tiled")),
+    ("pallas conv3x3", re.compile(r"conv3x3_lane128|conv3x3_tiled|conv3x3_subin")),
     ("pallas conv1x1", re.compile(r"conv1x1_lane128")),
     ("pallas stats", re.compile(r"sum_gram|stats_kernel")),
+    ("pallas pool/upsample", re.compile(r"packed_pool_lane|packed_upsample_lane")),
     ("xla conv", re.compile(r"^%?convolution|conv_general")),
     ("pool (reduce_window)", re.compile(r"reduce-window|reduce_window")),
     ("copy/relayout", re.compile(r"^%?(copy|transpose|bitcast-convert)")),

@@ -17,6 +17,7 @@ cd "$(dirname "$0")/.."
 k=$1; steps=${2:-12000}
 data=${3:-/tmp/sd_train/data}
 oroot=${4:-/tmp/oracle_root}
+shift; shift; shift 2>/dev/null || true; shift 2>/dev/null || true
 run=sd${k}_oracle
 
 python -m collaborative_distillation_tpu.cli.train --mode wct_sd --stage "$k" \
@@ -24,7 +25,7 @@ python -m collaborative_distillation_tpu.cli.train --mode wct_sd --stage "$k" \
   --lr 1e-3 --lr_final 1e-6 \
   --content_train "$data" --cache_data --batch_size 16 --epoch 99999 \
   --max_steps "$steps" --project_name "$run" --print_interval 200 \
-  --save_interval 2000 > "/tmp/sd${k}_oracle.log" 2>&1
+  --save_interval 2000 "$@" > "/tmp/sd${k}_oracle.log" 2>&1
 ck=$(ls -t Experiments/*_${run}/weights/2*.npz | head -1)
 
 mkdir -p "$oroot/16x"
