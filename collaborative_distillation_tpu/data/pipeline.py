@@ -153,18 +153,36 @@ class ImageFolderDataset:
             arr = np.asarray(img, np.uint8) if self.uint8 else _to_float(img)
         return arr
 
-    def __getitem__(self, idx: int) -> tuple[np.ndarray, str]:
-        path = self.paths[idx]
+    def _cached(self, path: str) -> np.ndarray:
         if self._cache is not None:
             arr = self._cache.get(path)
             if arr is None:
                 # benign race under Loader threads: worst case both decode once
                 arr = self._cache[path] = self._decode(path)
-        else:
-            arr = self._decode(path)
+            return arr
+        return self._decode(path)
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, str]:
+        path = self.paths[idx]
+        arr = self._cached(path)
         rng = self._rng.child()
         if self.aug == "strong":
-            return self._strong_aug(arr, rng), path
+            out = self._strong_aug(arr, rng)
+            # CutMix-style collage (p=0.25): paste a random rectangle of a
+            # second augmented crop — synthesizes compositions and sharp
+            # occlusion boundaries the tiny source corpus lacks (the
+            # reconstruction target is still the input itself, so any
+            # composite is a valid sample)
+            if rng.random() < 0.25:
+                j = int(rng.integers(0, len(self.paths)))
+                other = self._strong_aug(self._cached(self.paths[j]), rng)
+                ch = int(rng.integers(self.crop // 4, 3 * self.crop // 4))
+                cw = int(rng.integers(self.crop // 4, 3 * self.crop // 4))
+                i0 = int(rng.integers(0, self.crop - ch + 1))
+                j0 = int(rng.integers(0, self.crop - cw + 1))
+                out = out.copy()
+                out[i0:i0 + ch, j0:j0 + cw] = other[i0:i0 + ch, j0:j0 + cw]
+            return out, path
         arr = _random_crop(arr, self.crop, rng)
         if rng.random() < 0.5:
             arr = arr[:, ::-1].copy()
