@@ -981,7 +981,10 @@ def pick_subin(h: int, w: int, cin: int, cout: int,
         for bh in (16, 8, 4, 2, 1):
             if h % bh == 0 and _vmem_estimate_subin(
                     bh, bw, sub, cin, cout, itemsize) <= _VMEM_BUDGET:
-                if best is None or (bh * bw, bw) > (best[0] * best[1], best[1]):
+                # equal block area -> prefer the TALLER block: the N/S halo
+                # rows are re-fetched per block, an overhead of 2/bh of the
+                # core read traffic (50% at bh=4, 25% at bh=8)
+                if best is None or (bh * bw, bh) > (best[0] * best[1], best[0]):
                     best = (bh, bw)
                 break
     return best
