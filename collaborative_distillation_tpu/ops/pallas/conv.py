@@ -1042,7 +1042,14 @@ def conv3x3_subin(x: jax.Array, plr: jax.Array, w9: jax.Array,
     """Reflect-padded 3x3 conv on an UNPADDED sub-dense (H, W, Cin<128) map
     -> (H, W, Cout<=128), channels taken natively (no lane zero-pad
     anywhere). Same contract as :func:`conv3x3_tiled` otherwise; ``plr``
-    from :func:`make_pad_columns`."""
+    from :func:`make_pad_columns`.
+
+    ``x`` is passed as NINE pallas operands (core + 8 halo views of the
+    same array). Inside a larger jitted program XLA aliases them to one
+    buffer (the fused UHD cascade runs this kernel at 4 GB shapes), but a
+    STANDALONE call at such shapes can ResourceExhaust — the standalone
+    executable materialises operand copies. Embed in a jit (as every
+    production path does) for huge maps."""
     h, w_, cin = x.shape
     _, wcin, cout = w9.shape
     assert w9.shape[0] == 9 and wcin == cin, (x.shape, w9.shape)
