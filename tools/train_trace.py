@@ -50,7 +50,9 @@ def main():
     bd = init_params(decoder_spec("original", args.stage), k2)
     se = init_params(encoder_spec("16x", args.stage, aux=True), k3)
     tr = Trainer(TrainConfig(mode=args.mode, stage=args.stage,
-                             batch_size=args.batch, bf16=args.bf16),
+                             batch_size=args.batch,
+                             compute_dtype="bfloat16" if args.bf16
+                             else "float32"),
                  se, {"be": be, "bd": bd})
     batch = jax.random.uniform(k4, (args.batch, 256, 256, 3), jnp.float32)
 
